@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""SpGEMM ALG1/2/3 time-vs-peak-HBM comparison sweep.
+
+TPU re-build of /root/reference SpGEMM_alg_comparison/profiler.py: for each
+size × density, run `spgemm(A, B, alg)` for alg ∈ {1, 2, 3}, report median
+time over N runs and ΔPeak-HBM (profiler.py:165-230 prints the same table
+for ΔPeak-VRAM).
+
+Usage: python benchmarks/alg_comparison.py --size 1024 --density 0.1 \
+           --runs 100 [--chunk-fraction 0.2] [--dtype float32] [--seed 2008]
+"""
+
+import argparse
+import itertools
+import json
+import sys
+
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")  # repo root
+
+import spmm_tpu as st  # noqa: E402
+from spmm_tpu.utils import profiler  # noqa: E402
+
+
+def run_case(size, density, runs, chunk_fraction, dtype, seed, algs):
+    m = k = n = size
+    A = st.random(m, k, density, format="csr", dtype=dtype,
+                  random_state=seed)
+    B = st.random(k, n, density, format="csr", dtype=dtype,
+                  random_state=seed + 1)
+    results = {}
+    for alg in algs:
+        def op(alg=alg):
+            return st.spgemm(A, B, alg=alg,
+                             chunk_fraction=chunk_fraction).data
+
+        r = profiler.repeat_op(f"SpGEMM alg{alg} n={size} d={density}",
+                               op, runs=runs, warmup=3)
+        if r is None:
+            continue
+        results[alg] = r
+        print(r.row())
+    return results
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, nargs="+", default=[512, 1024])
+    p.add_argument("--density", type=float, nargs="+", default=[0.1, 0.5])
+    p.add_argument("--runs", type=int, default=100)
+    p.add_argument("--chunk-fraction", type=float, default=0.2)
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--seed", type=int, default=2008)
+    p.add_argument("--algs", type=int, nargs="+", default=[1, 2, 3])
+    p.add_argument("--json", action="store_true", help="emit one JSON line per case")
+    args = p.parse_args(argv)
+    dtype = jnp.dtype(args.dtype)
+    for size, density in itertools.product(args.size, args.density):
+        print(f"=== SpGEMM alg comparison: n={size} density={density} "
+              f"runs={args.runs} ===")
+        res = run_case(size, density, args.runs, args.chunk_fraction, dtype,
+                       args.seed, args.algs)
+        if args.json:
+            for alg, r in res.items():
+                print(json.dumps({
+                    "bench": "alg_comparison", "size": size,
+                    "density": density, "alg": alg,
+                    "median_ms": r.median_ms,
+                    "delta_hbm_bytes": r.delta_hbm_bytes,
+                }))
+        profiler.cleanup_device()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+// Standalone native SpGEMM cross-check program.
+//
+// The TPU-build analogue of the reference's raw-cuSPARSE programs
+// (/root/reference cupy_cusparse/spgemm_from_txt_alg{1,2,3}.cu): an
+// independent implementation, in a separate process and language, that must
+// produce a BITWISE-identical CSR result to the framework's ESC SpGEMM
+// (spmm_tpu/ops/spgemm.py alg=2/alg=3).
+//
+// Bitwise equality is achievable because the JAX ESC path fixes every
+// floating-point ordering decision:
+//   1. partial products are materialised in (A-entry, B-entry) order;
+//   2. triplets are STABLE-sorted by (row, col) — ties keep expansion order;
+//   3. duplicates are summed with a Hillis–Steele doubling tree whose shape
+//      depends only on the run length (spmm_tpu/ops/_primitives.py
+//      segsum_tree), which this program replays add-for-add.
+// The chunked alg=3 path partitions by rows, so runs are never split and
+// the same tree applies — alg2 and alg3 agree bitwise with this program.
+//
+// Usage: spgemm_cross_check A_prefix B_prefix C_out_prefix [alpha]
+// File format: <prefix>_{indptr,indices,data}.txt + <prefix>_shape.txt,
+// ints as %d, floats as %.9g (round-trips float32 exactly) — identical to
+// the reference protocol (gen_and_save_alg1_txt.py:8-15).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <numeric>
+#include <string>
+#include <vector>
+
+struct CSR {
+  int64_t m = 0, n = 0;
+  std::vector<int32_t> indptr, indices;
+  std::vector<float> data;
+};
+
+static std::vector<double> read_lines(const std::string &path) {
+  FILE *f = std::fopen(path.c_str(), "r");
+  if (!f) {
+    std::fprintf(stderr, "cannot open %s\n", path.c_str());
+    std::exit(1);
+  }
+  std::vector<double> out;
+  double v;
+  while (std::fscanf(f, "%lf", &v) == 1) out.push_back(v);
+  std::fclose(f);
+  return out;
+}
+
+static CSR read_csr(const std::string &prefix) {
+  CSR a;
+  auto shape = read_lines(prefix + "_shape.txt");
+  if (shape.size() != 2) {
+    std::fprintf(stderr, "bad shape file for %s\n", prefix.c_str());
+    std::exit(1);
+  }
+  a.m = (int64_t)shape[0];
+  a.n = (int64_t)shape[1];
+  for (double v : read_lines(prefix + "_indptr.txt"))
+    a.indptr.push_back((int32_t)v);
+  for (double v : read_lines(prefix + "_indices.txt"))
+    a.indices.push_back((int32_t)v);
+  // re-read data as float32 via strtof for exact decimal→binary32 rounding
+  {
+    FILE *f = std::fopen((prefix + "_data.txt").c_str(), "r");
+    if (!f) { std::fprintf(stderr, "no data file\n"); std::exit(1); }
+    char buf[128];
+    while (std::fscanf(f, "%127s", buf) == 1)
+      a.data.push_back(std::strtof(buf, nullptr));
+    std::fclose(f);
+  }
+  return a;
+}
+
+static bool validate_csr(const CSR &a) {
+  // validate_csr_indices analogue (spgemm_from_txt_alg1.cu:80-102)
+  if ((int64_t)a.indptr.size() != a.m + 1) return false;
+  if (a.indptr.front() != 0) return false;
+  if ((size_t)a.indptr.back() != a.indices.size()) return false;
+  if (a.indices.size() != a.data.size()) return false;
+  for (size_t i = 1; i < a.indptr.size(); ++i)
+    if (a.indptr[i] < a.indptr[i - 1]) return false;
+  for (int32_t c : a.indices)
+    if (c < 0 || c >= a.n) return false;
+  return true;
+}
+
+static void write_csr(const std::string &prefix, const CSR &c) {
+  FILE *f = std::fopen((prefix + "_shape.txt").c_str(), "w");
+  std::fprintf(f, "%lld %lld\n", (long long)c.m, (long long)c.n);
+  std::fclose(f);
+  f = std::fopen((prefix + "_indptr.txt").c_str(), "w");
+  for (int32_t v : c.indptr) std::fprintf(f, "%d\n", v);
+  std::fclose(f);
+  f = std::fopen((prefix + "_indices.txt").c_str(), "w");
+  for (int32_t v : c.indices) std::fprintf(f, "%d\n", v);
+  std::fclose(f);
+  f = std::fopen((prefix + "_data.txt").c_str(), "w");
+  for (float v : c.data) std::fprintf(f, "%.9g\n", (double)v);
+  std::fclose(f);
+}
+
+// Segment total via the Hillis–Steele doubling tree on a run of length L:
+// pass d: x[i] += x[i-d] (from the previous pass's values) for i >= d.
+// Mirrors segsum_tree (all updates computed from the old array — double
+// buffered) restricted to one segment; the tree depends only on L.
+static float tree_segment_sum(const float *vals, size_t L) {
+  if (L == 1) return vals[0];
+  std::vector<float> x(vals, vals + L), y(L);
+  for (size_t d = 1; d < L; d *= 2) {
+    for (size_t i = 0; i < L; ++i)
+      y[i] = (i >= d) ? x[i] + x[i - d] : x[i];
+    x.swap(y);
+  }
+  return x[L - 1];
+}
+
+int main(int argc, char **argv) {
+  if (argc < 4) {
+    std::fprintf(stderr,
+                 "usage: %s A_prefix B_prefix C_out_prefix [alpha]\n",
+                 argv[0]);
+    return 2;
+  }
+  const CSR a = read_csr(argv[1]);
+  const CSR b = read_csr(argv[2]);
+  const float alpha = argc > 4 ? std::strtof(argv[4], nullptr) : 1.0f;
+  if (!validate_csr(a) || !validate_csr(b) || a.n != b.m) {
+    std::fprintf(stderr, "invalid inputs\n");
+    return 1;
+  }
+
+  // 1. expand partial products in (A-entry, B-entry) order
+  struct Triplet { int32_t row, col; float val; int64_t order; };
+  std::vector<Triplet> prods;
+  for (int32_t i = 0; i < (int32_t)a.m; ++i) {
+    for (int32_t t = a.indptr[i]; t < a.indptr[i + 1]; ++t) {
+      const int32_t k = a.indices[t];
+      const float av = a.data[t];
+      for (int32_t u = b.indptr[k]; u < b.indptr[k + 1]; ++u)
+        prods.push_back({i, b.indices[u], av * b.data[u],
+                         (int64_t)prods.size()});
+    }
+  }
+
+  // 2. stable lex sort by (row, col) — ties keep expansion order
+  std::stable_sort(prods.begin(), prods.end(),
+                   [](const Triplet &x, const Triplet &y) {
+                     if (x.row != y.row) return x.row < y.row;
+                     return x.col < y.col;
+                   });
+
+  // 3. compress runs with the fixed doubling tree
+  CSR c;
+  c.m = a.m;
+  c.n = b.n;
+  c.indptr.assign(a.m + 1, 0);
+  std::vector<float> run;
+  size_t i = 0;
+  while (i < prods.size()) {
+    size_t j = i;
+    run.clear();
+    while (j < prods.size() && prods[j].row == prods[i].row &&
+           prods[j].col == prods[i].col)
+      run.push_back(prods[j++].val);
+    c.indices.push_back(prods[i].col);
+    c.data.push_back(alpha * tree_segment_sum(run.data(), run.size()));
+    c.indptr[prods[i].row + 1]++;
+    i = j;
+  }
+  for (int64_t r = 0; r < c.m; ++r) c.indptr[r + 1] += c.indptr[r];
+
+  write_csr(argv[3], c);
+  std::printf("spgemm_cross_check: %lld x %lld @ %lld x %lld -> nnz %zu\n",
+              (long long)a.m, (long long)a.n, (long long)b.m,
+              (long long)b.n, c.data.size());
+  return 0;
+}

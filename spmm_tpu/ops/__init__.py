@@ -1,0 +1,21 @@
+"""Operator layer (the `cupyx.cusparse` analogue): SpMV / SpMM / SpGEMM /
+SDDMM wrappers, element-wise ops, dispatch, and shared static-shape
+primitives."""
+
+from spmm_tpu.ops.spmv import spmv  # noqa: F401
+from spmm_tpu.ops.spmm import spmm  # noqa: F401
+from spmm_tpu.ops.spgemm import spgemm, spgemm_nnz_estimate  # noqa: F401
+from spmm_tpu.ops.sddmm import sddmm  # noqa: F401
+from spmm_tpu.ops.dispatch import matmul, break_even_density  # noqa: F401
+from spmm_tpu.ops import elementwise  # noqa: F401
+
+__all__ = [
+    "spmv",
+    "spmm",
+    "spgemm",
+    "spgemm_nnz_estimate",
+    "sddmm",
+    "matmul",
+    "break_even_density",
+    "elementwise",
+]

@@ -1,0 +1,242 @@
+"""Static-shape jitted building blocks shared by containers and kernels.
+
+These are the TPU-native replacements for the reference's cuSPARSE utility
+routines (`csrsort`, `coosort`, `coo2csr`, `csr2cscEx2`, `sum_duplicates` — see
+/root/reference modify_src/cupy-src/cupy_backends/cuda/libs/cusparse.pyx and
+cupyx/scipy/sparse/_coo.py:356-539).  Everything here is:
+
+  * static-shape (XLA requirement): any data-dependent size is computed by a
+    "count" kernel whose scalar result is read back on the host before the
+    sized kernel is traced;
+  * deterministic by construction: stable sorts + fixed-order reductions
+    (the reference relies on cuSPARSE being bitwise-stable per algorithm,
+    see deterministic/test_deterministic.sh — we get the same property for
+    free because nothing here uses atomics);
+  * int32-indexed.  Lexicographic (row, col) ordering never materialises an
+    int64 key: when ``m * n < 2**31`` a fused int32 key is used, otherwise two
+    stable sorts (by col, then by row) give the same ordering.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+INDEX_DTYPE = jnp.int32
+
+
+def _can_fuse_key(shape: Tuple[int, int]) -> bool:
+    return int(shape[0]) * int(shape[1]) < 2**31
+
+
+# ---------------------------------------------------------------------------
+# lexicographic (row, col) sort
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("ncols", "fuse"))
+def _lexsort_rowcol_impl(row, col, carried, ncols: int, fuse: bool):
+    if fuse:
+        key = row * jnp.asarray(ncols, row.dtype) + col
+        out = lax.sort((key, row, col) + tuple(carried), num_keys=1,
+                       is_stable=True)
+        return out[1], out[2], out[3:]
+    # Two stable passes: sort by col, then by row.  Stability of the second
+    # pass preserves the col order within equal rows → (row, col) lex order.
+    out = lax.sort((col, row) + tuple(carried), num_keys=1, is_stable=True)
+    col1, row1, carried1 = out[0], out[1], out[2:]
+    out = lax.sort((row1, col1) + tuple(carried1), num_keys=1, is_stable=True)
+    return out[0], out[1], out[2:]
+
+
+def lexsort_rowcol(row, col, carried: Sequence[jax.Array], shape):
+    """Stable-sort COO triplets into (row, col) lexicographic order.
+
+    Returns (row_sorted, col_sorted, tuple_of_carried_sorted).
+    """
+    r, c, rest = _lexsort_rowcol_impl(row, col, tuple(carried),
+                                      ncols=int(shape[1]),
+                                      fuse=_can_fuse_key(shape))
+    return r, c, tuple(rest)
+
+
+# ---------------------------------------------------------------------------
+# indptr <-> row ids
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("nrows",))
+def build_indptr(rows_sorted, nrows: int):
+    """CSR indptr from sorted row ids (the `coo2csr` of the TPU build)."""
+    counts = jnp.bincount(rows_sorted, length=nrows).astype(INDEX_DTYPE)
+    return jnp.concatenate(
+        [jnp.zeros((1,), INDEX_DTYPE), jnp.cumsum(counts, dtype=INDEX_DTYPE)]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("nnz",))
+def rows_from_indptr(indptr, nnz: int):
+    """Expand CSR indptr to per-entry row ids (the `csr2coo` direction)."""
+    if nnz == 0:
+        return jnp.zeros((0,), INDEX_DTYPE)
+    positions = jnp.arange(nnz, dtype=INDEX_DTYPE)
+    return (
+        jnp.searchsorted(indptr, positions, side="right").astype(INDEX_DTYPE)
+        - 1
+    )
+
+
+# ---------------------------------------------------------------------------
+# duplicate detection / summation (canonicalisation)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def count_unique_sorted(row_sorted, col_sorted):
+    """Number of distinct (row, col) pairs in lex-sorted coordinates."""
+    if row_sorted.shape[0] == 0:
+        return jnp.zeros((), INDEX_DTYPE)
+    new_group = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.bool_),
+            (row_sorted[1:] != row_sorted[:-1])
+            | (col_sorted[1:] != col_sorted[:-1]),
+        ]
+    )
+    return jnp.sum(new_group, dtype=INDEX_DTYPE)
+
+
+@functools.partial(jax.jit, static_argnames=("nout",))
+def sum_duplicates_sorted(row_sorted, col_sorted, data_sorted, nout: int):
+    """Collapse equal (row, col) runs by summation; output has `nout` entries.
+
+    `nout` must equal `count_unique_sorted(...)` (host-read before tracing).
+    Reduction order within a run is the sorted order (fixed → deterministic).
+    """
+    n = row_sorted.shape[0]
+    if n == 0:
+        return (
+            jnp.zeros((0,), INDEX_DTYPE),
+            jnp.zeros((0,), INDEX_DTYPE),
+            jnp.zeros((0,), data_sorted.dtype),
+        )
+    new_group = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.bool_),
+            (row_sorted[1:] != row_sorted[:-1])
+            | (col_sorted[1:] != col_sorted[:-1]),
+        ]
+    )
+    seg_ids = jnp.cumsum(new_group.astype(INDEX_DTYPE)) - 1
+    out_data = jax.ops.segment_sum(
+        data_sorted, seg_ids, num_segments=nout, indices_are_sorted=True
+    )
+    first_pos = jnp.nonzero(new_group, size=nout, fill_value=0)[0]
+    return row_sorted[first_pos], col_sorted[first_pos], out_data
+
+
+@jax.jit
+def has_canonical_format_sorted(row, col, indptr_like=None):
+    """True iff lex-sorted coordinates contain no duplicate (row, col)."""
+    if row.shape[0] <= 1:
+        return jnp.asarray(True)
+    dup = (row[1:] == row[:-1]) & (col[1:] == col[:-1])
+    return ~jnp.any(dup)
+
+
+@jax.jit
+def is_sorted_canonical(row, col):
+    """True iff (row, col) pairs are strictly increasing lexicographically.
+
+    This is the TPU analogue of the reference's GPU canonical-format check
+    (cupyx/scipy/sparse/_compressed.py:859-898): sorted AND duplicate-free.
+    """
+    if row.shape[0] <= 1:
+        return jnp.asarray(True)
+    row_ok = row[1:] > row[:-1]
+    col_ok = (row[1:] == row[:-1]) & (col[1:] > col[:-1])
+    return jnp.all(row_ok | col_ok)
+
+
+# ---------------------------------------------------------------------------
+# dense <-> sparse
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def count_nonzero_dense(x):
+    return jnp.sum(x != 0, dtype=INDEX_DTYPE)
+
+
+@functools.partial(jax.jit, static_argnames=("nnz",))
+def dense_to_coo(x, nnz: int):
+    """Extract the nonzero triplets of a dense matrix in row-major order.
+
+    Mirrors cuSPARSE `denseToSparse` (cupyx/cusparse.py:1733) semantics.
+    """
+    mask = (x != 0).ravel()
+    flat_idx = jnp.nonzero(mask, size=nnz, fill_value=0)[0].astype(INDEX_DTYPE)
+    ncols = x.shape[1]
+    row = flat_idx // ncols
+    col = flat_idx % ncols
+    return row, col, x.ravel()[flat_idx]
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def coo_to_dense(row, col, data, shape: Tuple[int, int]):
+    """Scatter-add COO triplets into a dense matrix (`sparseToDense`)."""
+    out = jnp.zeros(shape, data.dtype)
+    return out.at[row, col].add(data, indices_are_sorted=False,
+                                unique_indices=False)
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def csr_to_dense_canonical(indptr, indices, data, shape: Tuple[int, int]):
+    """Densify a canonical CSR.  Hot path for the ALG1 (MXU) SpGEMM.
+
+    Canonical CSR ⇒ scatter indices are unique and lex-sorted, which XLA can
+    lower without a serialising combine.
+    """
+    nnz = data.shape[0]
+    row = rows_from_indptr(indptr, nnz)
+    out = jnp.zeros(shape, data.dtype)
+    return out.at[row, indices].set(data, indices_are_sorted=True,
+                                    unique_indices=True)
+
+
+# ---------------------------------------------------------------------------
+# fixed-tree segmented sum (bit-exact cross-implementation path)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def segsum_tree(values, head_flags):
+    """Segmented inclusive sum via Hillis–Steele doubling, fixed order.
+
+    ``head_flags[i]`` is True where segment ``i`` starts.  Returns the
+    inclusive running sum within each segment; the segment total is the value
+    at the last position of the segment.
+
+    The exact floating-point reduction tree is defined by this doubling
+    schedule, so an independent C++ implementation replaying the same
+    schedule reproduces the result bitwise — the TPU analogue of the
+    reference's CuPy-vs-raw-cuSPARSE bitwise cross-check
+    (cupy_cusparse/compare_csrs_txt.py:32-46).
+    """
+    n = values.shape[0]
+    x = values
+    stop = head_flags
+    d = 1
+    while d < n:
+        shifted_x = jnp.concatenate([jnp.zeros((d,), x.dtype), x[:-d]])
+        shifted_stop = jnp.concatenate(
+            [jnp.ones((d,), jnp.bool_), stop[:-d]]
+        )
+        x = jnp.where(stop, x, x + shifted_x)
+        stop = stop | shifted_stop
+        d *= 2
+    return x

@@ -1,0 +1,356 @@
+"""SpGEMM: C = alpha * A @ B with A, B both CSR — three TPU strategies.
+
+Re-provides the reference's modified `cupyx.cusparse.spgemm(a, b, alpha, alg,
+chunk_fraction, verbose)` (/root/reference
+modify_src/cupy-src/cupyx/cusparse.py:2007-2142), which exposes cuSPARSE
+ALG1/ALG2/ALG3.  The TPU strategies mirror the *semantics* (fast/high-memory,
+balanced, chunked/low-memory) with hardware-native implementations:
+
+  alg=1  "dense-intermediate" — the TPU analogue of the per-row hash table:
+         a dense accumulator is a perfect hash into columns.  Densify A and B
+         (unique, sorted scatter), one MXU matmul for values, one bf16 MXU
+         matmul over 0/1 patterns for the *structural* nonzero count (so
+         numerically-cancelled entries are kept, matching cuSPARSE/SciPy
+         structural semantics), then compress.  Fastest; memory O(m·k+k·n+m·n).
+
+  alg=2  "ESC, two-phase" — expand-sort-compress with exact sizing: a
+         symbolic pass counts the intermediate products P (the analogue of
+         `spGEMM_workEstimation`), the numeric pass expands all partial
+         products, stable-sorts by (row, col) and compresses duplicates with
+         a fixed-order reduction.  Memory O(P); no dense blow-up.
+
+  alg=3  "chunked ESC" — rows of A are partitioned so each chunk carries
+         ≈ chunk_fraction of the total products; a fixed workspace is reused
+         across chunks (the analogue of the chunked
+         `cusparseSpGEMM_estimateMemory` path, cusparse.pyx:5116-5155).
+         Lowest peak memory, slowest (one sort + one host sync per chunk).
+
+  alg=0  auto/DEFAULT: dense-intermediate when the dense footprint fits a
+         budget, else ESC — mirroring "DEFAULT = ALG1" (cusparse.py:2052-2058).
+
+Every strategy is deterministic by construction (stable sorts, fixed
+reduction trees, fixed MXU reduction order): re-running any alg on the same
+inputs is bitwise-identical, reproducing the property asserted by the
+reference's determinism suite (deterministic/test_deterministic.sh).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spmm_tpu.ops import _primitives as prim
+
+INDEX_DTYPE = prim.INDEX_DTYPE
+
+# dense-intermediate auto-dispatch budget (bytes of dense temporaries)
+_DENSE_BUDGET_BYTES = int(2e9)
+
+
+# ===========================================================================
+# ALG1 — dense-intermediate (MXU)
+# ===========================================================================
+
+
+@functools.partial(jax.jit, static_argnames=("m", "k", "n"))
+def _alg1_dense_compute(a_indptr, a_indices, a_data,
+                        b_indptr, b_indices, b_data,
+                        alpha, m: int, k: int, n: int):
+    """Dense value + structural-pattern matmuls; returns (C, mask, nnz)."""
+    a_dense = prim.csr_to_dense_canonical(a_indptr, a_indices, a_data, (m, k))
+    b_dense = prim.csr_to_dense_canonical(b_indptr, b_indices, b_data, (k, n))
+    c = jnp.dot(a_dense, b_dense,
+                preferred_element_type=a_dense.dtype,
+                precision=jax.lax.Precision.HIGHEST)
+    # structural pattern: counts of index matches; bf16 inputs are exact 0/1
+    # and the MXU accumulates in f32 → counts exact for k < 2**24.
+    a_pat = prim.csr_to_dense_canonical(
+        a_indptr, a_indices, jnp.ones_like(a_data, jnp.bfloat16), (m, k))
+    b_pat = prim.csr_to_dense_canonical(
+        b_indptr, b_indices, jnp.ones_like(b_data, jnp.bfloat16), (k, n))
+    counts = jnp.dot(a_pat, b_pat, preferred_element_type=jnp.float32)
+    mask = counts > 0
+    nnz = jnp.sum(mask, dtype=INDEX_DTYPE)
+    return alpha * c, mask, nnz
+
+
+@functools.partial(jax.jit, static_argnames=("nnz", "m"))
+def _dense_extract(c, mask, nnz: int, m: int):
+    """Compress (C, mask) to CSR in row-major order."""
+    n = c.shape[1]
+    flat = jnp.nonzero(mask.ravel(), size=nnz, fill_value=0)[0]
+    row = (flat // n).astype(INDEX_DTYPE)
+    col = (flat % n).astype(INDEX_DTYPE)
+    data = c.ravel()[flat]
+    indptr = prim.build_indptr(row, m)
+    return indptr, col, data
+
+
+def _spgemm_alg1(a, b, alpha):
+    from spmm_tpu.sparse.csr import CSR
+
+    m, k = a.shape
+    n = b.shape[1]
+    c, mask, nnz_dev = _alg1_dense_compute(
+        a.indptr, a.indices, a.data, b.indptr, b.indices, b.data,
+        jnp.asarray(alpha, a.dtype), m, k, n)
+    nnz = int(nnz_dev)  # host sync — the analogue of spMatGetSize
+    indptr, col, data = _dense_extract(c, mask, nnz, m)
+    return CSR.from_parts(indptr, col, data, (m, n), canonical=True)
+
+
+# ===========================================================================
+# ALG2 — expand-sort-compress with exact two-phase sizing
+# ===========================================================================
+
+
+@jax.jit
+def _work_estimation(a_indices, b_indptr):
+    """Per-A-entry product counts and their inclusive prefix (symbolic phase).
+
+    The analogue of `spGEMM_workEstimation` (cusparse.py:2086-2092).
+    """
+    counts = (b_indptr[a_indices + 1] - b_indptr[a_indices]).astype(INDEX_DTYPE)
+    ends = jnp.cumsum(counts, dtype=INDEX_DTYPE)
+    return counts, ends
+
+
+@functools.partial(jax.jit, static_argnames=("P",))
+def _expand(a_rows, a_indices, a_data, b_indptr, b_indices, b_data,
+            counts, ends, P: int):
+    """Materialise all P partial products as (row, col, val) triplets.
+
+    Expansion order is A-entry order then B-row order — fixed, so downstream
+    stable sorts give a deterministic duplicate ordering.
+    """
+    p = jnp.arange(P, dtype=INDEX_DTYPE)
+    t = jnp.searchsorted(ends, p, side="right").astype(INDEX_DTYPE)
+    start = ends[t] - counts[t]
+    within = p - start
+    k_col = a_indices[t]
+    b_pos = b_indptr[k_col] + within
+    row = a_rows[t]
+    col = b_indices[b_pos]
+    val = a_data[t] * b_data[b_pos]
+    return row, col, val
+
+
+@jax.jit
+def _compress_count(row_s, col_s):
+    return prim.count_unique_sorted(row_s, col_s)
+
+
+@functools.partial(jax.jit, static_argnames=("nnz_c", "m"))
+def _compress(row_s, col_s, val_s, alpha, nnz_c: int, m: int):
+    """Sum duplicate (row, col) runs with the fixed doubling tree."""
+    P = row_s.shape[0]
+    new_group = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_),
+         (row_s[1:] != row_s[:-1]) | (col_s[1:] != col_s[:-1])])
+    scanned = prim.segsum_tree(val_s, new_group)
+    first_pos = jnp.nonzero(new_group, size=nnz_c, fill_value=0)[0]
+    last_pos = jnp.concatenate(
+        [first_pos[1:], jnp.array([P], first_pos.dtype)]) - 1
+    out_row = row_s[first_pos]
+    out_col = col_s[first_pos]
+    out_val = alpha * scanned[last_pos]
+    indptr = prim.build_indptr(out_row, m)
+    return indptr, out_col, out_val
+
+
+def _spgemm_alg2(a, b, alpha):
+    from spmm_tpu.sparse.csr import CSR
+
+    m, _ = a.shape
+    n = b.shape[1]
+    if a.nnz == 0 or b.nnz == 0:
+        return _empty_csr(m, n, a.dtype)
+    counts, ends = _work_estimation(a.indices, b.indptr)
+    P = int(ends[-1])  # host sync — sizing readback (workEstimation)
+    if P == 0:
+        return _empty_csr(m, n, a.dtype)
+    row, col, val = _expand(a.rows, a.indices, a.data,
+                            b.indptr, b.indices, b.data, counts, ends, P)
+    row_s, col_s, (val_s,) = prim.lexsort_rowcol(row, col, (val,), (m, n))
+    nnz_c = int(_compress_count(row_s, col_s))  # host sync (spMatGetSize)
+    indptr, out_col, out_val = _compress(
+        row_s, col_s, val_s, jnp.asarray(alpha, a.dtype), nnz_c, m)
+    return CSR.from_parts(indptr, out_col, out_val, (m, n), canonical=True)
+
+
+# ===========================================================================
+# ALG3 — chunked ESC (bounded workspace)
+# ===========================================================================
+
+
+@functools.partial(jax.jit, static_argnames=("E", "W", "m", "n"))
+def _chunk_esc(a_indptr_full, a_indices, a_data, a_rows,
+               b_indptr, b_indices, b_data,
+               r0, e0, e1, E: int, W: int, m: int, n: int):
+    """One ESC pass over A rows [r0, r1) whose entries live in [e0, e1).
+
+    Entries are padded to E, the product workspace to W; invalid lanes carry
+    row = m (sorts to the end) and val = 0.  Returns padded sorted triplets
+    plus the valid-output count.
+    """
+    idx = e0 + jnp.arange(E, dtype=INDEX_DTYPE)
+    valid_e = idx < e1
+    safe = jnp.where(valid_e, idx, 0)
+    ai = jnp.where(valid_e, a_indices[safe], 0)
+    ad = jnp.where(valid_e, a_data[safe], 0)
+    ar = jnp.where(valid_e, a_rows[safe], m)
+    counts = jnp.where(
+        valid_e, b_indptr[ai + 1] - b_indptr[ai], 0).astype(INDEX_DTYPE)
+    ends = jnp.cumsum(counts, dtype=INDEX_DTYPE)
+    total = ends[-1]
+    p = jnp.arange(W, dtype=INDEX_DTYPE)
+    valid_p = p < total
+    t = jnp.minimum(
+        jnp.searchsorted(ends, p, side="right").astype(INDEX_DTYPE), E - 1)
+    start = ends[t] - counts[t]
+    within = jnp.where(valid_p, p - start, 0)
+    k_col = ai[t]
+    b_pos = jnp.minimum(b_indptr[k_col] + within, b_indices.shape[0] - 1)
+    row = jnp.where(valid_p, ar[t], m)
+    col = jnp.where(valid_p, b_indices[b_pos], n - 1)
+    val = jnp.where(valid_p, ad[t] * b_data[b_pos], 0)
+    # lex sort; invalid lanes (row=m) land at the end
+    row_s, col_s, (val_s,) = prim.lexsort_rowcol(row, col, (val,), (m + 1, n))
+    new_group = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_),
+         (row_s[1:] != row_s[:-1]) | (col_s[1:] != col_s[:-1])])
+    valid_s = row_s < m
+    nnz_chunk = jnp.sum(new_group & valid_s, dtype=INDEX_DTYPE)
+    return row_s, col_s, val_s, new_group, valid_s, nnz_chunk
+
+
+@functools.partial(jax.jit, static_argnames=("nnz_c",))
+def _chunk_extract(row_s, col_s, val_s, new_group, valid_s, alpha,
+                   nnz_c: int):
+    scanned = prim.segsum_tree(val_s, new_group)
+    # Valid segments occupy a prefix of the sorted workspace (the invalid
+    # sentinel run sorts last), so the first nnz_c segment heads — and the
+    # first nnz_c segment tails — are exactly the valid ones.
+    first_pos = jnp.nonzero(new_group, size=nnz_c, fill_value=0)[0]
+    last_flags = jnp.concatenate(
+        [new_group[1:], jnp.ones((1,), jnp.bool_)])
+    last_pos = jnp.nonzero(last_flags, size=nnz_c, fill_value=0)[0]
+    return row_s[first_pos], col_s[first_pos], alpha * scanned[last_pos]
+
+
+def _spgemm_alg3(a, b, alpha, chunk_fraction: float, verbose: bool = False):
+    from spmm_tpu.sparse.csr import CSR
+
+    m, _ = a.shape
+    n = b.shape[1]
+    if a.nnz == 0 or b.nnz == 0:
+        return _empty_csr(m, n, a.dtype)
+    counts, ends = _work_estimation(a.indices, b.indptr)
+    P = int(ends[-1])
+    if P == 0:
+        return _empty_csr(m, n, a.dtype)
+    chunk_fraction = min(max(float(chunk_fraction), 1e-3), 1.0)
+    target = max(1, int(np.ceil(P * chunk_fraction)))
+    # row boundaries balancing products per chunk (host, numpy)
+    indptr_h = np.asarray(a.indptr)
+    ends_h = np.asarray(ends)
+    row_prod_cum = ends_h[np.maximum(indptr_h[1:], 1) - 1]
+    row_prod_cum = np.where(indptr_h[1:] > 0, row_prod_cum, 0)
+    bounds = [0]
+    while bounds[-1] < m:
+        tgt = (row_prod_cum[bounds[-1] - 1] if bounds[-1] else 0) + target
+        nxt = int(np.searchsorted(row_prod_cum, tgt, side="left")) + 1
+        bounds.append(min(max(nxt, bounds[-1] + 1), m))
+    a_rows = a.rows
+    # static workspace sizes: max entries / products over chunks
+    chunk_meta = []
+    for r0, r1 in zip(bounds[:-1], bounds[1:]):
+        e0, e1 = int(indptr_h[r0]), int(indptr_h[r1])
+        pw = int((row_prod_cum[r1 - 1] if r1 > 0 else 0)
+                 - (row_prod_cum[r0 - 1] if r0 > 0 else 0))
+        chunk_meta.append((r0, r1, e0, e1, pw))
+    E = max(max(c[3] - c[2] for c in chunk_meta), 1)
+    W = max(max(c[4] for c in chunk_meta), 1)
+    if verbose:
+        print(f"[spgemm alg3] P={P} chunks={len(chunk_meta)} "
+              f"E={E} W={W} chunk_fraction={chunk_fraction}")
+    alpha_arr = jnp.asarray(alpha, a.dtype)
+    rows_out, cols_out, vals_out = [], [], []
+    for (r0, r1, e0, e1, pw) in chunk_meta:
+        row_s, col_s, val_s, new_group, valid_s, nnz_dev = _chunk_esc(
+            a.indptr, a.indices, a.data, a_rows,
+            b.indptr, b.indices, b.data,
+            jnp.asarray(r0, INDEX_DTYPE), jnp.asarray(e0, INDEX_DTYPE),
+            jnp.asarray(e1, INDEX_DTYPE), E, W, m, n)
+        nnz_c = int(nnz_dev)  # per-chunk host sync (bounded-memory price)
+        if nnz_c == 0:
+            continue
+        r, c, v = _chunk_extract(row_s, col_s, val_s, new_group, valid_s,
+                                 alpha_arr, nnz_c)
+        rows_out.append(r)
+        cols_out.append(c)
+        vals_out.append(v)
+    if not rows_out:
+        return _empty_csr(m, n, a.dtype)
+    row = jnp.concatenate(rows_out)
+    col = jnp.concatenate(cols_out)
+    val = jnp.concatenate(vals_out)
+    indptr = prim.build_indptr(row, m)
+    return CSR.from_parts(indptr, col, val, (m, n), canonical=True)
+
+
+# ===========================================================================
+# public entry
+# ===========================================================================
+
+
+def _empty_csr(m, n, dtype):
+    from spmm_tpu.sparse.csr import CSR
+
+    return CSR.from_parts(jnp.zeros((m + 1,), INDEX_DTYPE),
+                          jnp.zeros((0,), INDEX_DTYPE),
+                          jnp.zeros((0,), dtype), (m, n), canonical=True)
+
+
+def spgemm(a, b, alpha=1.0, alg: int = 0, chunk_fraction: float = 0.2,
+           verbose: bool = False):
+    """C = alpha * A @ B, both CSR.  API mirrors the modified
+    `cupyx.cusparse.spgemm` (cusparse.py:2007): alg ∈ {0 (default), 1, 2, 3},
+    `chunk_fraction` applies to alg=3.
+    """
+    from spmm_tpu.sparse.csr import CSR
+
+    if not isinstance(a, CSR) or not isinstance(b, CSR):
+        raise TypeError("spgemm expects CSR matrices (csr @ csr), matching "
+                        "cusparse.spgemm validation")
+    if a.shape[1] != b.shape[0]:
+        raise ValueError(f"dimension mismatch: {a.shape} @ {b.shape}")
+    a = a.sum_duplicates()
+    b = b.sum_duplicates()
+    if alg in (0, 1):
+        m, k = a.shape
+        n = b.shape[1]
+        dense_bytes = 4 * (m * k + k * n + 2 * m * n)
+        if alg == 1 or dense_bytes <= _DENSE_BUDGET_BYTES:
+            if verbose:
+                print(f"[spgemm] alg1 dense-intermediate ({dense_bytes} B)")
+            return _spgemm_alg1(a, b, alpha)
+        if verbose:
+            print("[spgemm] auto: dense footprint too large → ESC (alg2)")
+        return _spgemm_alg2(a, b, alpha)
+    if alg == 2:
+        return _spgemm_alg2(a, b, alpha)
+    if alg == 3:
+        return _spgemm_alg3(a, b, alpha, chunk_fraction, verbose)
+    raise ValueError(f"unknown alg {alg!r} (expected 0, 1, 2 or 3)")
+
+
+def spgemm_nnz_estimate(a, b) -> Tuple[int, int]:
+    """(intermediate products P, upper bound on nnz(C)) — sizing helper."""
+    _, ends = _work_estimation(a.indices, b.indptr)
+    P = int(ends[-1]) if a.nnz else 0
+    return P, min(P, a.shape[0] * b.shape[1])

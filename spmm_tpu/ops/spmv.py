@@ -1,0 +1,83 @@
+"""SpMV: y = alpha * A @ x  (CSR @ dense vector).
+
+Re-provides `cupyx.cusparse.spmv` (/root/reference
+modify_src/cupy-src/cupyx/cusparse.py:1373-1438) with its validation
+semantics, as TPU-native compute:
+
+  * default path: gather-multiply + row-segmented sum.  The segment ids come
+    from indptr (sorted), so XLA lowers the reduction without a serialising
+    combine; deterministic fixed-order accumulation.
+  * `via="dense"`: densify A and ride the MXU — optimal whenever the matrix
+    fits (the reference's own data shows SpMV is bandwidth/transfer-bound and
+    GPU-loses-to-CPU at small sizes, BASELINE.md §SpMV).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from spmm_tpu.ops import _primitives as prim
+
+
+@jax.jit
+def _csr_spmv(indptr, indices, data, x, alpha):
+    nnz = data.shape[0]
+    m = indptr.shape[0] - 1
+    rows = prim.rows_from_indptr(indptr, nnz)
+    prod = data * x[indices]
+    y = jax.ops.segment_sum(prod, rows, num_segments=m,
+                            indices_are_sorted=True)
+    return alpha * y
+
+
+@functools.partial(jax.jit, static_argnames=("ncols",))
+def _csr_spmv_t(indptr, indices, data, x, alpha, *, ncols: int):
+    """y = alpha * A.T @ x via scatter-add over column indices."""
+    nnz = data.shape[0]
+    rows = prim.rows_from_indptr(indptr, nnz)
+    prod = data * x[rows]
+    y = jax.ops.segment_sum(prod, indices, num_segments=ncols,
+                            indices_are_sorted=False)
+    return alpha * y
+
+
+@jax.jit
+def _dense_spmv(a_dense, x, alpha):
+    return alpha * (a_dense @ x)
+
+
+def spmv(a, x, alpha=1.0, transa: bool = False, via: str = "csr"):
+    """y = alpha * op(A) @ x.
+
+    Validation mirrors cusparse.spmv: A must be CSR (CSC handled via cheap
+    transpose view), x a 1-D dense vector of matching length.
+    """
+    from spmm_tpu.sparse.base import issparse
+    from spmm_tpu.sparse.csc import CSC
+
+    if not issparse(a):
+        raise TypeError("spmv expects a sparse matrix A")
+    if isinstance(a, CSC):
+        # CSC(m,n) == CSR(n,m) transposed: flip transa
+        a = a.transpose()  # CSR view, shape (n, m)
+        transa = not transa
+    a = a.tocsr()
+    x = jnp.asarray(x)
+    if x.ndim != 1:
+        raise ValueError("spmv expects a 1-D dense vector x")
+    m, n = a.shape
+    expected = m if transa else n
+    if x.shape[0] != expected:
+        raise ValueError(
+            f"dimension mismatch: op(A) {a.shape} (transa={transa}) @ x "
+            f"{x.shape}")
+    alpha = jnp.asarray(alpha, a.dtype)
+    if via == "dense":
+        ad = a.toarray()
+        return _dense_spmv(ad.T if transa else ad, x, alpha)
+    if transa:
+        return _csr_spmv_t(a.indptr, a.indices, a.data, x, alpha, ncols=n)
+    return _csr_spmv(a.indptr, a.indices, a.data, x, alpha)

@@ -1,0 +1,19 @@
+"""Distributed execution: meshes, row-sharded sparse matrices, sparse
+collectives (the `cupyx.distributed` analogue, re-designed for ICI)."""
+
+from spmm_tpu.parallel.mesh import (  # noqa: F401
+    init_process_group,
+    make_mesh,
+    replicated,
+    row_sharded,
+)
+from spmm_tpu.parallel.sharded import (  # noqa: F401
+    ShardedCSR,
+    shard_csr,
+    spgemm_dense_sharded,
+    spmm_sharded,
+    spmv_sharded,
+    spmv_t_sharded,
+    unshard_rows,
+)
+from spmm_tpu.parallel import collectives  # noqa: F401

@@ -1,0 +1,268 @@
+"""Row-partitioned sparse matrices over a device mesh.
+
+The TPU-native re-design of the reference's distributed capability
+(SURVEY.md §2.2 `_SparseNCCLCommunicator`, §5 "Distributed communication
+backend"): instead of NCCL point-to-point sends of (shape, sizes) metadata
+then three component arrays (_nccl_comm.py:525-580), matrices are laid out as
+**static, equal-shape per-device shards** — nnz is padded to the per-shard
+maximum (the "pad to per-step max + size header" protocol the survey
+prescribes for ICI) — and every op is a `shard_map` program whose collectives
+(psum / all_gather) ride ICI.
+
+Sharding scheme (1-D 'rows' mesh):
+  * rows are split into contiguous balanced blocks (by rows or by nnz);
+  * each shard stores a local CSR (indptr over local rows, indices, data)
+    padded to the max shard nnz — padding entries carry data=0 so they are
+    arithmetically inert and need no masking in SpMV/SpMM;
+  * `row_bounds` is static host metadata (the "size header").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spmm_tpu.ops import _primitives as prim
+from spmm_tpu.sparse.csr import CSR
+
+INDEX_DTYPE = prim.INDEX_DTYPE
+
+shard_map = jax.shard_map
+
+
+@jax.tree_util.register_pytree_node_class
+class ShardedCSR:
+    """Equal-shape row shards of a CSR, stacked on a leading device axis.
+
+    indptr: (D, rows_per_shard + 1) — local row pointers
+    indices: (D, E) int32, data: (D, E) — padded to E = max shard nnz
+    nnz_local: (D,) int32 — the valid-entry count ("size header")
+    """
+
+    def __init__(self, indptr, indices, data, nnz_local, shape, row_bounds):
+        self.indptr = indptr
+        self.indices = indices
+        self.data = data
+        self.nnz_local = nnz_local
+        self._shape = (int(shape[0]), int(shape[1]))
+        self.row_bounds = tuple(int(b) for b in row_bounds)
+
+    # -- pytree -------------------------------------------------------------
+
+    def tree_flatten(self):
+        return (self.indptr, self.indices, self.data, self.nnz_local), (
+            self._shape, self.row_bounds)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.indptr, obj.indices, obj.data, obj.nnz_local = children
+        obj._shape, obj.row_bounds = aux
+        return obj
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @property
+    def n_shards(self) -> int:
+        return int(self.indptr.shape[0])
+
+    @property
+    def rows_per_shard(self) -> int:
+        return int(self.indptr.shape[1]) - 1
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self) -> int:
+        return int(jnp.sum(self.nnz_local))
+
+
+def shard_csr(a: CSR, mesh: Mesh, axis: str = "rows",
+              balance: str = "rows") -> ShardedCSR:
+    """Partition a CSR's rows across `mesh[axis]` into equal-shape shards.
+
+    balance="rows": equal row counts; "nnz": contiguous blocks balanced by
+    nnz (better for skewed matrices — cf. models.power_law_rows).
+    Rows are padded up to D * rows_per_shard with empty rows.
+    """
+    a = a.tocsr().sum_duplicates()
+    m, n = a.shape
+    D = mesh.shape[axis]
+    indptr_h = np.asarray(a.indptr)
+    if balance == "nnz":
+        total = int(indptr_h[-1])
+        targets = [(total * (i + 1)) // D for i in range(D - 1)]
+        cuts = [0] + [int(np.searchsorted(indptr_h, t, side="left"))
+                      for t in targets] + [m]
+        cuts = sorted(set(cuts))
+        while len(cuts) < D + 1:
+            cuts.append(m)
+        bounds = cuts[:D] + [m]
+    else:
+        per = -(-m // D)
+        bounds = [min(i * per, m) for i in range(D)] + [m]
+    rows_per_shard = max(bounds[i + 1] - bounds[i] for i in range(D))
+    nnz_per = [int(indptr_h[bounds[i + 1]] - indptr_h[bounds[i]])
+               for i in range(D)]
+    E = max(max(nnz_per), 1)
+    indptr_s = np.zeros((D, rows_per_shard + 1), np.int32)
+    indices_s = np.zeros((D, E), np.int32)
+    data_s = np.zeros((D, E), np.asarray(a.data).dtype)
+    indices_h = np.asarray(a.indices)
+    data_h = np.asarray(a.data)
+    for i in range(D):
+        r0, r1 = bounds[i], bounds[i + 1]
+        e0, e1 = int(indptr_h[r0]), int(indptr_h[r1])
+        local = indptr_h[r0:r1 + 1] - indptr_h[r0]
+        indptr_s[i, :r1 - r0 + 1] = local
+        indptr_s[i, r1 - r0 + 1:] = local[-1]  # trailing empty rows
+        indices_s[i, :e1 - e0] = indices_h[e0:e1]
+        data_s[i, :e1 - e0] = data_h[e0:e1]
+    sharding = NamedSharding(mesh, P(axis))
+    return ShardedCSR(
+        jax.device_put(jnp.asarray(indptr_s), sharding),
+        jax.device_put(jnp.asarray(indices_s), sharding),
+        jax.device_put(jnp.asarray(data_s), sharding),
+        jax.device_put(jnp.asarray(nnz_per, INDEX_DTYPE), sharding),
+        (m, n), bounds)
+
+
+def unshard_rows(y, shape_m: int, row_bounds: Sequence[int]):
+    """Concatenate per-shard row blocks back to a global array (host order).
+
+    Because trailing pad rows are at the end of each shard, slices are taken
+    per shard before concatenation.
+    """
+    D = y.shape[0]
+    parts = []
+    for i in range(D):
+        r0, r1 = row_bounds[i], row_bounds[i + 1]
+        parts.append(y[i, : r1 - r0])
+    return jnp.concatenate(parts, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# sharded ops (shard_map programs)
+# ---------------------------------------------------------------------------
+
+
+def _local_spmv(indptr, indices, data, x):
+    """Local CSR·x on one shard; padding entries carry 0 data."""
+    E = data.shape[0]
+    m_local = indptr.shape[0] - 1
+    rows = jnp.searchsorted(
+        indptr, jnp.arange(E, dtype=INDEX_DTYPE), side="right"
+    ).astype(INDEX_DTYPE) - 1
+    prod = data * x[indices]
+    return jax.ops.segment_sum(prod, rows, num_segments=m_local,
+                               indices_are_sorted=True)
+
+
+def spmv_sharded(a: ShardedCSR, x, mesh: Mesh, axis: str = "rows"):
+    """y = A @ x with A row-sharded, x replicated; y row-sharded.
+
+    The x replication is the all-gather of vector segments the survey maps
+    from the reference's halo exchange (SURVEY.md §5 long-context row).
+    """
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=P(axis))
+    def step(indptr_blk, indices_blk, data_blk, x_full):
+        return jax.vmap(
+            lambda ip, ix, dv: _local_spmv(ip, ix, dv, x_full)
+        )(indptr_blk, indices_blk, data_blk)
+
+    return step(a.indptr, a.indices, a.data, x)
+
+
+def spmm_sharded(a: ShardedCSR, b, mesh: Mesh, axis: str = "rows"):
+    """C = A @ B with A row-sharded, B (dense) replicated; C row-sharded."""
+
+    def _local_spmm(indptr, indices, data, b_full):
+        E = data.shape[0]
+        m_local = indptr.shape[0] - 1
+        rows = jnp.searchsorted(
+            indptr, jnp.arange(E, dtype=INDEX_DTYPE), side="right"
+        ).astype(INDEX_DTYPE) - 1
+        gathered = b_full[indices, :] * data[:, None]
+        return jax.ops.segment_sum(gathered, rows, num_segments=m_local,
+                                   indices_are_sorted=True)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=P(axis))
+    def step(indptr_blk, indices_blk, data_blk, b_full):
+        return jax.vmap(
+            lambda ip, ix, dv: _local_spmm(ip, ix, dv, b_full)
+        )(indptr_blk, indices_blk, data_blk)
+
+    return step(a.indptr, a.indices, a.data, b)
+
+
+def spmv_t_sharded(a: ShardedCSR, y, mesh: Mesh, axis: str = "rows"):
+    """x = A.T @ y with A row-sharded and y row-sharded: each shard
+    scatter-adds its contribution over the full column space, then a psum
+    over the mesh reduces partials — the all-to-all-of-partials pattern."""
+    n = a.shape[1]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P())
+    def step(indptr_blk, indices_blk, data_blk, y_blk):
+        def one(ip, ix, dv, yv):
+            E = dv.shape[0]
+            rows = jnp.searchsorted(
+                ip, jnp.arange(E, dtype=INDEX_DTYPE), side="right"
+            ).astype(INDEX_DTYPE) - 1
+            contrib = dv * yv[rows]
+            return jax.ops.segment_sum(contrib, ix, num_segments=n)
+
+        partial = jax.vmap(one)(indptr_blk, indices_blk, data_blk,
+                                y_blk).sum(axis=0)
+        return jax.lax.psum(partial, axis)
+
+    return step(a.indptr, a.indices, a.data, y)
+
+
+def spgemm_dense_sharded(a: ShardedCSR, b_dense, mesh: Mesh,
+                         axis: str = "rows"):
+    """Row-sharded SpGEMM via the ALG1 dense-intermediate: each shard
+    densifies its row block and multiplies the replicated dense B on the
+    MXU.  Returns the dense product, row-sharded (compression to CSR is a
+    host-side gather via `unshard_rows`)."""
+
+    def _local(indptr, indices, data, b_full):
+        E = data.shape[0]
+        m_local = indptr.shape[0] - 1
+        rows = jnp.searchsorted(
+            indptr, jnp.arange(E, dtype=INDEX_DTYPE), side="right"
+        ).astype(INDEX_DTYPE) - 1
+        k = b_full.shape[0]
+        a_dense = jnp.zeros((m_local, k), data.dtype)
+        a_dense = a_dense.at[rows, indices].add(data, mode="drop")
+        return jnp.dot(a_dense, b_full, preferred_element_type=data.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=P(axis))
+    def step(indptr_blk, indices_blk, data_blk, b_full):
+        return jax.vmap(
+            lambda ip, ix, dv: _local(ip, ix, dv, b_full)
+        )(indptr_blk, indices_blk, data_blk)
+
+    return step(a.indptr, a.indices, a.data, b_dense)

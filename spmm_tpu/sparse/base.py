@@ -1,0 +1,249 @@
+"""Base class for the TPU sparse containers.
+
+Provides the format-generic API of the reference's `spmatrix`
+(/root/reference modify_src/cupy-src/cupyx/scipy/sparse/_base.py): shape /
+dtype / nnz properties, `asformat`, arithmetic entry points, and the
+`__matmul__` → dispatch-table routing (`_base.py:130-134` routes `@` to
+`__mul__`; here `@` routes to `spmm_tpu.ops.dispatch`).
+
+Design differences from the reference (deliberate, TPU-first):
+  * containers are **immutable pytrees** — every "mutating" canonicalisation
+    (`sort_indices`, `sum_duplicates`) returns a new container, so they can
+    flow through `jax.jit` / `shard_map` boundaries as ordinary pytrees;
+  * `nnz` is static Python metadata (XLA needs static shapes); component
+    arrays are exactly `nnz`-sized at the eager API boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SparseMatrix:
+    """Abstract base for COO / CSR / CSC / BSR."""
+
+    format: str = "base"
+
+    # -- basic properties ---------------------------------------------------
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return self._shape
+
+    @property
+    def ndim(self) -> int:
+        return 2
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self) -> int:
+        return int(self.data.shape[0])
+
+    def getnnz(self) -> int:
+        return self.nnz
+
+    @property
+    def density(self) -> float:
+        m, n = self.shape
+        return self.nnz / float(m * n) if m and n else 0.0
+
+    @property
+    def T(self):
+        return self.transpose()
+
+    # -- conversion protocol ------------------------------------------------
+
+    def tocoo(self):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def tocsr(self):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def tocsc(self):
+        return self.tocsr().tocsc()
+
+    def tobsr(self, blocksize=None):
+        from spmm_tpu.sparse import bsr as _bsr
+
+        return _bsr.csr_to_bsr(self.tocsr(), blocksize=blocksize)
+
+    def todense(self):
+        return self.toarray()
+
+    def toarray(self):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def asformat(self, format: str):
+        if format is None or format == self.format:
+            return self
+        try:
+            convert = getattr(self, "to" + format)
+        except AttributeError:
+            raise ValueError(f"Format {format!r} is unknown.")
+        return convert()
+
+    def transpose(self):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def conj(self):
+        return self._with_data(jnp.conj(self.data))
+
+    def copy(self):
+        return self._with_data(self.data)
+
+    def astype(self, dtype):
+        return self._with_data(self.data.astype(dtype))
+
+    # -- scipy bridge (host-side; used by tests and serialization) ---------
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        coo = self.tocoo()
+        return sp.coo_matrix(
+            (
+                np.asarray(coo.data),
+                (np.asarray(coo.row), np.asarray(coo.col)),
+            ),
+            shape=self.shape,
+        ).asformat(self.format if self.format in ("csr", "csc", "coo") else "csr")
+
+    # -- arithmetic ---------------------------------------------------------
+
+    def __matmul__(self, other):
+        from spmm_tpu.ops import dispatch
+
+        if jnp.isscalar(other) or (
+            isinstance(other, (jax.Array, np.ndarray)) and other.ndim == 0
+        ):
+            # Matches spmatrix.__matmul__ rejecting scalars (_base.py:130-134).
+            raise ValueError("Scalar operands are not allowed, use '*' instead")
+        return dispatch.matmul(self, other)
+
+    def __rmatmul__(self, other):
+        from spmm_tpu.ops import dispatch
+
+        if jnp.isscalar(other):
+            raise ValueError("Scalar operands are not allowed, use '*' instead")
+        return dispatch.rmatmul(self, other)
+
+    def dot(self, other):
+        from spmm_tpu.ops import dispatch
+
+        return dispatch.matmul(self, other)
+
+    def __mul__(self, other):
+        from spmm_tpu.ops import dispatch
+
+        if jnp.isscalar(other) or (
+            isinstance(other, (jax.Array, np.ndarray)) and other.ndim == 0
+        ):
+            return self._with_data(self.data * other)
+        # Reference `__mul__` doubles as matmul (_csr.py:151-226).
+        return dispatch.matmul(self, other)
+
+    def __rmul__(self, other):
+        if jnp.isscalar(other) or (
+            isinstance(other, (jax.Array, np.ndarray)) and other.ndim == 0
+        ):
+            return self._with_data(other * self.data)
+        from spmm_tpu.ops import dispatch
+
+        return dispatch.rmatmul(self, other)
+
+    def __truediv__(self, other):
+        if jnp.isscalar(other):
+            return self._with_data(self.data / other)
+        raise NotImplementedError
+
+    def __neg__(self):
+        return self._with_data(-self.data)
+
+    def multiply(self, other):
+        """Element-wise product."""
+        from spmm_tpu.ops import elementwise
+
+        return elementwise.multiply(self, other)
+
+    def __add__(self, other):
+        from spmm_tpu.ops import elementwise
+
+        return elementwise.add(self, other)
+
+    def __sub__(self, other):
+        from spmm_tpu.ops import elementwise
+
+        return elementwise.add(self, -other if issparse(other) else self._neg_other(other))
+
+    def _neg_other(self, other):
+        return -other
+
+    # -- reductions ---------------------------------------------------------
+
+    def sum(self, axis=None):
+        coo = self.tocoo()
+        if axis is None:
+            return jnp.sum(coo.data)
+        if axis in (0, -2):
+            return (
+                jnp.zeros((self.shape[1],), self.dtype).at[coo.col].add(coo.data)
+            )
+        if axis in (1, -1):
+            return (
+                jnp.zeros((self.shape[0],), self.dtype).at[coo.row].add(coo.data)
+            )
+        raise ValueError(f"axis out of range: {axis}")
+
+    def mean(self, axis=None):
+        m, n = self.shape
+        if axis is None:
+            return self.sum() / (m * n)
+        denom = m if axis in (0, -2) else n
+        return self.sum(axis=axis) / denom
+
+    def max(self):
+        coo = self.tocoo()
+        explicit = jnp.max(coo.data) if self.nnz else jnp.asarray(0, self.dtype)
+        if self.nnz < self.shape[0] * self.shape[1]:
+            return jnp.maximum(explicit, jnp.asarray(0, self.dtype))
+        return explicit
+
+    def min(self):
+        coo = self.tocoo()
+        explicit = jnp.min(coo.data) if self.nnz else jnp.asarray(0, self.dtype)
+        if self.nnz < self.shape[0] * self.shape[1]:
+            return jnp.minimum(explicit, jnp.asarray(0, self.dtype))
+        return explicit
+
+    # -- misc ---------------------------------------------------------------
+
+    def _with_data(self, data):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def __repr__(self):
+        m, n = self.shape
+        return (
+            f"<{m}x{n} sparse matrix of type {self.dtype} with {self.nnz} "
+            f"stored elements in {self.format.upper()} format>"
+        )
+
+
+def issparse(x) -> bool:
+    return isinstance(x, SparseMatrix)
+
+
+isspmatrix = issparse
+
+
+def _check_shape_compat(a_shape, b_shape, op="matmul"):
+    if a_shape[1] != b_shape[0]:
+        raise ValueError(
+            f"dimension mismatch for {op}: {a_shape} @ {b_shape}"
+        )

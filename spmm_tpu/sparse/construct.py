@@ -1,0 +1,239 @@
+"""Sparse matrix constructors.
+
+Re-provides `cupyx.scipy.sparse._construct` (/root/reference
+modify_src/cupy-src/cupyx/scipy/sparse/_construct.py): `random` follows
+`_construct.py:321-374` semantics exactly — ``k = int(density * m * n)``
+nonzeros, positions drawn without replacement from the flattened index space,
+values from ``data_rvs`` (default U[0,1)) — but drives `jax.random` instead of
+cuRAND, so generation is itself reproducible across hosts and backends.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spmm_tpu.ops import _primitives as prim
+from spmm_tpu.sparse.coo import COO
+from spmm_tpu.sparse.csr import CSR
+
+INDEX_DTYPE = prim.INDEX_DTYPE
+
+
+def _as_key(random_state) -> jax.Array:
+    if random_state is None:
+        random_state = 0
+    if isinstance(random_state, (int, np.integer)):
+        return jax.random.PRNGKey(int(random_state))
+    return random_state  # assume a PRNG key
+
+
+def random(m: int, n: int, density: float = 0.01, format: str = "coo",
+           dtype=jnp.float32, random_state=None,
+           data_rvs: Optional[Callable] = None):
+    """Random sparse matrix with exactly ``int(density*m*n)`` nonzeros.
+
+    Mirrors `_construct.py:321-374`: distinct positions chosen uniformly
+    without replacement, values from ``data_rvs(key, k)`` (U[0,1) default).
+    ``data_rvs`` receives ``(key, shape, dtype)`` — a JAX-native spelling of
+    the reference's ``data_rvs(k)``; plain numpy callables taking one int
+    argument are also accepted for SciPy compatibility.
+    """
+    m, n = int(m), int(n)
+    if not (0 <= density <= 1):
+        raise ValueError("density expected to be 0 <= density <= 1")
+    mn = m * n
+    k = int(density * mn)
+    key = _as_key(random_state)
+    kpos, kval = jax.random.split(key)
+    if k > 0:
+        if mn < 2**31:
+            flat = jax.random.choice(
+                kpos, mn, shape=(k,), replace=False
+            ).astype(INDEX_DTYPE)
+            row = (flat // n).astype(INDEX_DTYPE)
+            col = (flat % n).astype(INDEX_DTYPE)
+        else:
+            # Huge index space: rejection-free two-stage draw — sample rows by
+            # multinomial over equal probability then columns without
+            # replacement per batch is expensive; instead sample with
+            # replacement and de-dup, topping up on the host (rare path).
+            row, col = _sample_distinct_large(kpos, m, n, k)
+    else:
+        row = jnp.zeros((0,), INDEX_DTYPE)
+        col = jnp.zeros((0,), INDEX_DTYPE)
+    if data_rvs is None:
+        data = jax.random.uniform(kval, (k,), dtype=dtype)
+    else:
+        try:
+            data = jnp.asarray(data_rvs(kval, (k,), dtype), dtype=dtype)
+        except TypeError:
+            data = jnp.asarray(data_rvs(k), dtype=dtype)
+    coo = COO.from_parts(row, col, data, (m, n), canonical=False)
+    return coo.asformat(format)
+
+
+def _sample_distinct_large(key, m, n, k):
+    """Distinct (row, col) sampling when m*n >= 2**31 (host-assisted)."""
+    rng = np.random.default_rng(
+        np.asarray(jax.random.key_data(key)).view(np.uint32).sum())
+    seen = set()
+    rows = np.empty((k,), np.int64)
+    cols = np.empty((k,), np.int64)
+    filled = 0
+    while filled < k:
+        need = int((k - filled) * 1.1) + 16
+        r = rng.integers(0, m, size=need)
+        c = rng.integers(0, n, size=need)
+        for ri, ci in zip(r, c):
+            pos = (int(ri), int(ci))
+            if pos in seen:
+                continue
+            seen.add(pos)
+            rows[filled] = ri
+            cols[filled] = ci
+            filled += 1
+            if filled == k:
+                break
+    return (jnp.asarray(rows, INDEX_DTYPE), jnp.asarray(cols, INDEX_DTYPE))
+
+
+rand = random
+
+
+def eye(m: int, n: Optional[int] = None, k: int = 0, dtype=jnp.float32,
+        format: str = "dia"):
+    """Sparse matrix with ones on diagonal k (`_construct.py` eye)."""
+    if n is None:
+        n = m
+    m, n = int(m), int(n)
+    size = max(0, min(m + min(k, 0), n - max(k, 0)))
+    row = jnp.arange(size, dtype=INDEX_DTYPE) - min(k, 0)
+    col = jnp.arange(size, dtype=INDEX_DTYPE) + max(k, 0)
+    data = jnp.ones((size,), dtype)
+    coo = COO.from_parts(row, col, data, (m, n), canonical=True)
+    if format == "dia":
+        format = "csr"
+    return coo.asformat(format)
+
+
+def identity(n: int, dtype=jnp.float32, format: str = "dia"):
+    return eye(n, n, dtype=dtype, format=format)
+
+
+def spdiags(data, diags_offsets, m: int, n: int, format: str = "dia"):
+    """Sparse matrix from diagonals (scipy `spdiags` semantics)."""
+    data = jnp.asarray(data)
+    if data.ndim == 1:
+        data = data[None, :]
+    offsets = np.atleast_1d(np.asarray(diags_offsets, np.int64))
+    rows, cols, vals = [], [], []
+    for d_row, k in zip(data, offsets):
+        k = int(k)
+        size = max(0, min(m + min(k, 0), n - max(k, 0)))
+        if size == 0:
+            continue
+        r = jnp.arange(size, dtype=INDEX_DTYPE) - min(k, 0)
+        c = jnp.arange(size, dtype=INDEX_DTYPE) + max(k, 0)
+        # scipy spdiags reads data[k][c] (column-indexed)
+        v = d_row[c]
+        rows.append(r)
+        cols.append(c)
+        vals.append(v)
+    if not rows:
+        coo = COO.from_parts(jnp.zeros((0,), INDEX_DTYPE),
+                             jnp.zeros((0,), INDEX_DTYPE),
+                             jnp.zeros((0,), data.dtype), (m, n),
+                             canonical=True)
+    else:
+        coo = COO.from_parts(jnp.concatenate(rows), jnp.concatenate(cols),
+                             jnp.concatenate(vals), (m, n))
+    if format == "dia":
+        format = "csr"
+    return coo.asformat(format)
+
+
+def diags(diagonals, offsets=0, shape=None, format: str = "dia",
+          dtype=None):
+    """scipy.sparse.diags semantics (list of diagonals + offsets)."""
+    if np.isscalar(offsets):
+        offsets = [offsets]
+        diagonals = [jnp.asarray(diagonals)]
+    else:
+        diagonals = [jnp.asarray(d) for d in diagonals]
+    offsets = [int(o) for o in offsets]
+    if shape is None:
+        extent = max(len(d) + abs(o) for d, o in zip(diagonals, offsets))
+        shape = (extent, extent)
+    m, n = int(shape[0]), int(shape[1])
+    rows, cols, vals = [], [], []
+    for d, k in zip(diagonals, offsets):
+        size = max(0, min(m + min(k, 0), n - max(k, 0)))
+        if size == 0:
+            continue
+        r = jnp.arange(size, dtype=INDEX_DTYPE) - min(k, 0)
+        c = jnp.arange(size, dtype=INDEX_DTYPE) + max(k, 0)
+        if d.ndim == 0:
+            v = jnp.full((size,), d, dtype=dtype or d.dtype)
+        else:
+            v = d[:size].astype(dtype) if dtype else d[:size]
+        rows.append(r)
+        cols.append(c)
+        vals.append(v)
+    coo = COO.from_parts(jnp.concatenate(rows), jnp.concatenate(cols),
+                         jnp.concatenate(vals), (m, n))
+    if format == "dia":
+        format = "csr"
+    return coo.asformat(format)
+
+
+def bmat(blocks, format: Optional[str] = None, dtype=None):
+    """Assemble a sparse matrix from a 2-D grid of blocks (None = zero)."""
+    nrows = len(blocks)
+    ncols = len(blocks[0])
+    row_heights = [None] * nrows
+    col_widths = [None] * ncols
+    for i in range(nrows):
+        for j in range(ncols):
+            b = blocks[i][j]
+            if b is None:
+                continue
+            row_heights[i] = b.shape[0]
+            col_widths[j] = b.shape[1]
+    if any(h is None for h in row_heights) or any(w is None for w in col_widths):
+        raise ValueError("bmat grid has an all-None row or column")
+    row_off = np.concatenate([[0], np.cumsum(row_heights)])
+    col_off = np.concatenate([[0], np.cumsum(col_widths)])
+    rows, cols, vals = [], [], []
+    for i in range(nrows):
+        for j in range(ncols):
+            b = blocks[i][j]
+            if b is None:
+                continue
+            coo = b.tocoo() if hasattr(b, "tocoo") else COO(jnp.asarray(b))
+            rows.append(coo.row + int(row_off[i]))
+            cols.append(coo.col + int(col_off[j]))
+            vals.append(coo.data)
+    shape = (int(row_off[-1]), int(col_off[-1]))
+    if not rows:
+        out = COO.from_parts(jnp.zeros((0,), INDEX_DTYPE),
+                             jnp.zeros((0,), INDEX_DTYPE),
+                             jnp.zeros((0,), dtype or jnp.float32), shape,
+                             canonical=True)
+    else:
+        out = COO.from_parts(jnp.concatenate(rows), jnp.concatenate(cols),
+                             jnp.concatenate(vals), shape)
+        if dtype is not None:
+            out = out.astype(dtype)
+    return out.asformat(format or "coo")
+
+
+def vstack(blocks, format=None, dtype=None):
+    return bmat([[b] for b in blocks], format=format, dtype=dtype)
+
+
+def hstack(blocks, format=None, dtype=None):
+    return bmat([list(blocks)], format=format, dtype=dtype)

@@ -1,0 +1,74 @@
+"""CSR serialization: the cross-process text format + npz.
+
+The text format is byte-compatible with the reference's cross-check protocol
+(/root/reference cupy_cusparse/gen_and_save_alg1_txt.py:8-15 and the C++
+reader spgemm_from_txt_alg1.cu:54-78): for a matrix ``prefix`` three files
+``prefix_indptr.txt`` / ``prefix_indices.txt`` / ``prefix_data.txt``, one
+value per line, ints as ``%d`` and floats as ``%.9g``.  This is what the
+determinism suite diffs and what the native C++ cross-check program reads.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+
+from spmm_tpu.sparse.csr import CSR
+
+
+def save_csr_txt(prefix: str, a: CSR) -> None:
+    a = a.tocsr()
+    np.savetxt(prefix + "_indptr.txt", np.asarray(a.indptr), fmt="%d")
+    np.savetxt(prefix + "_indices.txt", np.asarray(a.indices), fmt="%d")
+    np.savetxt(prefix + "_data.txt", np.asarray(a.data), fmt="%.9g")
+    with open(prefix + "_shape.txt", "w") as f:
+        f.write(f"{a.shape[0]} {a.shape[1]}\n")
+
+
+def load_csr_txt(prefix: str, shape: Tuple[int, int] = None) -> CSR:
+    indptr = np.loadtxt(prefix + "_indptr.txt", dtype=np.int32, ndmin=1)
+    indices = np.loadtxt(prefix + "_indices.txt", dtype=np.int32, ndmin=1)
+    data = np.loadtxt(prefix + "_data.txt", dtype=np.float32, ndmin=1)
+    if shape is None:
+        shape_file = prefix + "_shape.txt"
+        if os.path.exists(shape_file):
+            with open(shape_file) as f:
+                m, n = map(int, f.read().split())
+            shape = (m, n)
+        else:
+            m = len(indptr) - 1
+            n = int(indices.max()) + 1 if len(indices) else 0
+            shape = (m, n)
+    return CSR.from_parts(indptr, indices, data, shape, canonical=True)
+
+
+def save_npz(path: str, a) -> None:
+    a = a.tocsr()
+    np.savez_compressed(
+        path,
+        format="csr",
+        shape=np.asarray(a.shape, np.int64),
+        indptr=np.asarray(a.indptr),
+        indices=np.asarray(a.indices),
+        data=np.asarray(a.data),
+    )
+
+
+def load_npz(path: str) -> CSR:
+    with np.load(path) as f:
+        return CSR.from_parts(f["indptr"], f["indices"], f["data"],
+                              tuple(f["shape"]), canonical=True)
+
+
+def csrs_txt_equal(prefix_a: str, prefix_b: str) -> bool:
+    """Bitwise comparison of two text dumps (compare_csrs_txt.py:20-47)."""
+    a = load_csr_txt(prefix_a)
+    b = load_csr_txt(prefix_b)
+    return (
+        a.shape == b.shape
+        and np.array_equal(np.asarray(a.indptr), np.asarray(b.indptr))
+        and np.array_equal(np.asarray(a.indices), np.asarray(b.indices))
+        and np.array_equal(np.asarray(a.data), np.asarray(b.data))
+    )

@@ -1,0 +1,164 @@
+"""SpGEMM tests — the analogue of the reference's `TestSpgemm`
+(tests/cupyx_tests/test_cusparse.py:372-455): `spgemm(a, b, alpha) ≈
+alpha * a.dot(b)` vs SciPy across dtypes and shapes, invalid-input classes,
+plus the repo-level properties: bitwise structural parity, run-to-run
+determinism (deterministic/test_deterministic.sh), and inter-algorithm
+numerical-error bounds (numerical_error/)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import spmm_tpu as st
+from helpers import assert_csr_equal_structure, make_pair
+
+ALGS = [0, 1, 2, 3]
+
+
+@pytest.mark.parametrize("alg", ALGS)
+@pytest.mark.parametrize(
+    "shape,da,db",
+    [((60, 40, 50), 0.1, 0.1),
+     ((33, 17, 77), 0.3, 0.2),
+     ((100, 100, 100), 0.01, 0.01),
+     ((64, 64, 64), 0.5, 0.5)],
+)
+def test_spgemm_scipy_parity(shape, da, db, alg):
+    m, k, n = shape
+    A, B, As, Bs = make_pair(m, k, n, da, db)
+    C = st.spgemm(A, B, alg=alg, chunk_fraction=0.3)
+    ref = (As @ Bs).tocsr()
+    assert_csr_equal_structure(C, ref)
+    np.testing.assert_allclose(np.asarray(C.toarray()), ref.toarray(),
+                               rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("alg", ALGS)
+def test_spgemm_alpha(alg):
+    A, B, As, Bs = make_pair(40, 30, 35, 0.2, 0.2)
+    C = st.spgemm(A, B, alpha=2.5, alg=alg)
+    np.testing.assert_allclose(np.asarray(C.toarray()),
+                               2.5 * (As @ Bs).toarray(), rtol=2e-5,
+                               atol=1e-6)
+
+
+@pytest.mark.parametrize("alg", ALGS)
+def test_spgemm_empty(alg):
+    A = st.CSR((8, 9), dtype=jnp.float32)
+    B = st.random(9, 7, density=0.3, format="csr", random_state=0)
+    C = st.spgemm(A, B, alg=alg)
+    assert C.nnz == 0
+    assert C.shape == (8, 7)
+    C = st.spgemm(B, st.CSR((7, 5), dtype=jnp.float32), alg=alg)
+    assert C.nnz == 0 and C.shape == (9, 5)
+
+
+def test_spgemm_keeps_structural_zeros():
+    # cancellation: values sum to zero but the entry must stay (cuSPARSE /
+    # SciPy structural semantics)
+    A = st.CSR((np.array([1.0, -1.0]), np.array([0, 1]),
+                np.array([0, 2])), shape=(1, 2))
+    B = st.CSR((np.array([1.0, 1.0]), np.array([0, 0]),
+                np.array([0, 1, 2])), shape=(2, 1))
+    for alg in ALGS:
+        C = st.spgemm(A, B, alg=alg)
+        assert C.nnz == 1, f"alg={alg} dropped a structural zero"
+        assert np.asarray(C.data)[0] == 0.0
+
+
+def test_spgemm_validation():
+    A = st.random(8, 8, density=0.5, format="csr", random_state=0)
+    with pytest.raises(TypeError):
+        st.spgemm(A.tocoo(), A)
+    with pytest.raises(TypeError):
+        st.spgemm(A, A.tocsc())
+    B = st.random(9, 9, density=0.5, format="csr", random_state=0)
+    with pytest.raises(ValueError):
+        st.spgemm(A, B)
+    with pytest.raises(ValueError):
+        st.spgemm(A, A, alg=7)
+
+
+def test_spgemm_noncanonical_inputs():
+    # duplicate entries must be summed before multiplying (matches
+    # reference __mul__ which calls sum_duplicates, _csr.py:156-167)
+    row = np.array([0, 0, 1])
+    col = np.array([1, 1, 0])
+    val = np.array([1.0, 2.0, 4.0])
+    A = st.COO((val, (row, col)), shape=(2, 2)).tocsr()
+    Araw = st.CSR.from_parts(np.array([0, 2, 3]), col, val, (2, 2),
+                             canonical=False)
+    for alg in ALGS:
+        C = st.spgemm(Araw, A, alg=alg)
+        want = A.to_scipy() @ A.to_scipy()
+        np.testing.assert_allclose(np.asarray(C.toarray()), want.toarray(),
+                                   rtol=1e-6)
+
+
+@pytest.mark.parametrize("cf", [0.05, 0.2, 0.5, 1.0])
+def test_spgemm_chunk_fraction_sweep(cf):
+    """All chunk fractions give the same structure and near-identical values
+    (numerical_error/fraction.py analogue)."""
+    A, B, As, Bs = make_pair(80, 60, 70, 0.15, 0.15)
+    C = st.spgemm(A, B, alg=3, chunk_fraction=cf)
+    ref = (As @ Bs).tocsr()
+    assert_csr_equal_structure(C, ref)
+    np.testing.assert_allclose(np.asarray(C.toarray()), ref.toarray(),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_spgemm_alg_cross_error_small():
+    """|C_alg1 − C_alg3| max-abs error stays tiny for U[0,1) fp32 data
+    (numerical_error/distribution.py analogue; reference sees ~1e-4..1e-5
+    at n=1024 — at this size the bound is tighter)."""
+    A, B, _, _ = make_pair(128, 128, 128, 0.1, 0.1)
+    C1 = st.spgemm(A, B, alg=1)
+    C3 = st.spgemm(A, B, alg=3, chunk_fraction=0.3)
+    diff = np.abs(np.asarray(C1.toarray()) - np.asarray(C3.toarray()))
+    assert diff.max() < 1e-4
+
+
+@pytest.mark.parametrize("alg", ALGS)
+def test_spgemm_rerun_bitwise_deterministic(alg):
+    """Run-to-run bitwise determinism (deterministic/test_deterministic.sh):
+    same inputs → bit-identical data, indices, indptr."""
+    A, B, _, _ = make_pair(64, 64, 64, 0.2, 0.2, seed=11)
+    C1 = st.spgemm(A, B, alg=alg, chunk_fraction=0.25)
+    C2 = st.spgemm(A, B, alg=alg, chunk_fraction=0.25)
+    np.testing.assert_array_equal(np.asarray(C1.indptr), np.asarray(C2.indptr))
+    np.testing.assert_array_equal(np.asarray(C1.indices),
+                                  np.asarray(C2.indices))
+    np.testing.assert_array_equal(
+        np.asarray(C1.data).view(np.uint32),
+        np.asarray(C2.data).view(np.uint32))
+
+
+def test_spgemm_via_operator_defaults():
+    A, B, As, Bs = make_pair(50, 40, 45, 0.2, 0.2)
+    C = A @ B
+    np.testing.assert_allclose(np.asarray(C.toarray()),
+                               (As @ Bs).toarray(), rtol=2e-5, atol=1e-6)
+
+
+def test_spgemm_mixed_formats_via_operator():
+    A, B, As, Bs = make_pair(30, 25, 20, 0.3, 0.3)
+    got = A @ B.tocsc()
+    np.testing.assert_allclose(np.asarray(got.toarray()),
+                               (As @ Bs).toarray(), rtol=2e-5, atol=1e-6)
+    got = A.tocoo() @ B
+    np.testing.assert_allclose(np.asarray(got.toarray()),
+                               (As @ Bs).toarray(), rtol=2e-5, atol=1e-6)
+
+
+def test_spgemm_nnz_estimate():
+    A, B, As, Bs = make_pair(30, 25, 20, 0.3, 0.3)
+    P, ub = st.spgemm_nnz_estimate(A, B)
+    true_nnz = (As @ Bs).nnz
+    assert P >= true_nnz
+    assert ub >= true_nnz
+
+
+def test_matmul_scalar_rejected():
+    A = st.random(8, 8, density=0.5, format="csr", random_state=0)
+    with pytest.raises(ValueError):
+        A @ 2.0
