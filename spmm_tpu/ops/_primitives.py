@@ -80,14 +80,18 @@ def build_indptr(rows_sorted, nrows: int):
 
 @functools.partial(jax.jit, static_argnames=("nnz",))
 def rows_from_indptr(indptr, nnz: int):
-    """Expand CSR indptr to per-entry row ids (the `csr2coo` direction)."""
+    """Expand CSR indptr to per-entry row ids (the `csr2coo` direction).
+
+    row[t] = #{r ≥ 1 : indptr[r] ≤ t}, computed as a tiny scatter of row-end
+    marks followed by a cumsum — NOT searchsorted, which XLA lowers to a
+    per-element binary search that is ~100x slower on TPU (measured in
+    benchmarks/strategy_lab.py).
+    """
     if nnz == 0:
         return jnp.zeros((0,), INDEX_DTYPE)
-    positions = jnp.arange(nnz, dtype=INDEX_DTYPE)
-    return (
-        jnp.searchsorted(indptr, positions, side="right").astype(INDEX_DTYPE)
-        - 1
-    )
+    marks = jnp.zeros((nnz + 1,), INDEX_DTYPE).at[indptr[1:]].add(
+        1, mode="drop")
+    return jnp.cumsum(marks[:nnz], dtype=INDEX_DTYPE)
 
 
 # ---------------------------------------------------------------------------
@@ -198,14 +202,17 @@ def coo_to_dense(row, col, data, shape: Tuple[int, int]):
 def csr_to_dense_canonical(indptr, indices, data, shape: Tuple[int, int]):
     """Densify a canonical CSR.  Hot path for the ALG1 (MXU) SpGEMM.
 
-    Canonical CSR ⇒ scatter indices are unique and lex-sorted, which XLA can
-    lower without a serialising combine.
+    Canonical CSR ⇒ flattened scatter indices are unique and ascending; a
+    1-D flat scatter lowers ~5x better than the 2-D (row, col) form on TPU
+    (measured in benchmarks/strategy_lab.py).
     """
+    m, k = shape
     nnz = data.shape[0]
     row = rows_from_indptr(indptr, nnz)
-    out = jnp.zeros(shape, data.dtype)
-    return out.at[row, indices].set(data, indices_are_sorted=True,
-                                    unique_indices=True)
+    flat = row * jnp.asarray(k, INDEX_DTYPE) + indices
+    out = jnp.zeros((m * k,), data.dtype)
+    return out.at[flat].set(data, indices_are_sorted=True,
+                            unique_indices=True).reshape(m, k)
 
 
 # ---------------------------------------------------------------------------

@@ -56,38 +56,128 @@ _DENSE_BUDGET_BYTES = int(2e9)
 # ===========================================================================
 
 
+# Marker for explicit-zero input entries: the smallest normal float32.  An
+# explicit zero must stay structural (cuSPARSE semantics), so it is
+# scattered as TINY; the value matmul sees 0, the pattern compare sees ≠0.
+_TINY = float(np.finfo(np.float32).tiny)
+
+# Select-shift extraction handles up to this many holes (see
+# _extract_shift); beyond it the sort-based path takes over.
+_SHIFT_EXTRACT_MAX_HOLES = 128
+
+
+def _densify_marked(indptr, indices, data, m: int, k: int):
+    """One flat scatter producing a dense array where explicit-zero inputs
+    carry the _TINY marker (so the structural pattern survives)."""
+    nnz = data.shape[0]
+    rows = prim.rows_from_indptr(indptr, nnz)
+    flat = rows * jnp.asarray(k, INDEX_DTYPE) + indices
+    vals = jnp.where(data == 0, jnp.asarray(_TINY, data.dtype), data)
+    out = jnp.zeros((m * k,), data.dtype)
+    return out.at[flat].set(vals, indices_are_sorted=True,
+                            unique_indices=True).reshape(m, k)
+
+
 @functools.partial(jax.jit, static_argnames=("m", "k", "n"))
 def _alg1_dense_compute(a_indptr, a_indices, a_data,
                         b_indptr, b_indices, b_data,
                         alpha, m: int, k: int, n: int):
-    """Dense value + structural-pattern matmuls; returns (C, mask, nnz)."""
-    a_dense = prim.csr_to_dense_canonical(a_indptr, a_indices, a_data, (m, k))
-    b_dense = prim.csr_to_dense_canonical(b_indptr, b_indices, b_data, (k, n))
-    c = jnp.dot(a_dense, b_dense,
-                preferred_element_type=a_dense.dtype,
+    """Dense value + structural-pattern matmuls; returns (C, mask, nnz).
+
+    One scatter per operand: the value array is the marked dense with TINY
+    mapped back to 0; the bf16 pattern is a compare of the same array
+    (bf16 0/1 inputs accumulate exactly in the MXU's f32 for k < 2**24).
+    """
+    ad_m = _densify_marked(a_indptr, a_indices, a_data, m, k)
+    bd_m = _densify_marked(b_indptr, b_indices, b_data, k, n)
+    tiny = jnp.asarray(_TINY, ad_m.dtype)
+    ad = jnp.where(ad_m == tiny, 0, ad_m)
+    bd = jnp.where(bd_m == tiny, 0, bd_m)
+    c = jnp.dot(ad, bd, preferred_element_type=ad.dtype,
                 precision=jax.lax.Precision.HIGHEST)
-    # structural pattern: counts of index matches; bf16 inputs are exact 0/1
-    # and the MXU accumulates in f32 → counts exact for k < 2**24.
-    a_pat = prim.csr_to_dense_canonical(
-        a_indptr, a_indices, jnp.ones_like(a_data, jnp.bfloat16), (m, k))
-    b_pat = prim.csr_to_dense_canonical(
-        b_indptr, b_indices, jnp.ones_like(b_data, jnp.bfloat16), (k, n))
+    a_pat = (ad_m != 0).astype(jnp.bfloat16)
+    b_pat = (bd_m != 0).astype(jnp.bfloat16)
     counts = jnp.dot(a_pat, b_pat, preferred_element_type=jnp.float32)
     mask = counts > 0
     nnz = jnp.sum(mask, dtype=INDEX_DTYPE)
     return alpha * c, mask, nnz
 
 
-@functools.partial(jax.jit, static_argnames=("nnz", "m"))
+@functools.partial(jax.jit, static_argnames=("m", "n"))
+def _extract_full(c, mask, m: int, n: int):
+    """Extraction when the output is completely dense (no holes)."""
+    indptr = (jnp.arange(m + 1, dtype=INDEX_DTYPE)
+              * jnp.asarray(n, INDEX_DTYPE))
+    col = jnp.tile(jnp.arange(n, dtype=INDEX_DTYPE), m)
+    return indptr, col, c.ravel()
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "g_pad", "m", "n"))
+def _extract_shift(c, mask, cap: int, g_pad: int, m: int, n: int):
+    """Near-dense extraction by shifted selects — no sort/gather/scatter.
+
+    With g = m*n − cap holes, kept element for output slot t lives at
+    source t + j for exactly one j ∈ [0, g]: the j with mask[t+j] set and
+    #holes≤(t+j) == j.  For small g this is (g+1) static shifted
+    compare-selects over the flat arrays — pure VPU streaming.  g is padded
+    to a bucket (g_pad) to bound recompilation.
+    """
+    mk = m * n
+    flat_mask = mask.ravel()
+    kept_cum = jnp.cumsum(flat_mask.astype(INDEX_DTYPE), dtype=INDEX_DTYPE)
+    hole_cum = (jnp.arange(1, mk + 1, dtype=INDEX_DTYPE) - kept_cum)
+    # pad so static slices [j : j+cap] stay in range for j ≤ g_pad
+    cflat = jnp.concatenate([c.ravel(), jnp.zeros((g_pad,), c.dtype)])
+    mpad = jnp.concatenate(
+        [flat_mask, jnp.zeros((g_pad,), jnp.bool_)])
+    hpad = jnp.concatenate(
+        [hole_cum, jnp.full((g_pad,), -1, INDEX_DTYPE)])
+    out = jnp.zeros((cap,), c.dtype)
+    jmap = jnp.zeros((cap,), INDEX_DTYPE)
+    for j in range(g_pad + 1):
+        cond = mpad[j:j + cap] & (hpad[j:j + cap] == j)
+        out = jnp.where(cond, cflat[j:j + cap], out)
+        jmap = jnp.where(cond, j, jmap)
+    t = jnp.arange(cap, dtype=INDEX_DTYPE)
+    col = (t + jmap) % jnp.asarray(n, INDEX_DTYPE)
+    lens = jnp.sum(mask, axis=1, dtype=INDEX_DTYPE)
+    indptr = jnp.concatenate(
+        [jnp.zeros((1,), INDEX_DTYPE), jnp.cumsum(lens, dtype=INDEX_DTYPE)])
+    return indptr, col, out
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "m", "n"))
+def _extract_sort(c, mask, cap: int, m: int, n: int):
+    """General extraction: stable-sort compaction (kept elements first, in
+    row-major order)."""
+    mk = m * n
+    keys = jnp.where(mask.ravel(), jnp.int8(0), jnp.int8(1))
+    idxs = jnp.arange(mk, dtype=INDEX_DTYPE)
+    _, flat_s, val_s = jax.lax.sort((keys, idxs, c.ravel()), num_keys=1,
+                                    is_stable=True)
+    flat_c = flat_s[:cap]
+    lens = jnp.sum(mask, axis=1, dtype=INDEX_DTYPE)
+    indptr = jnp.concatenate(
+        [jnp.zeros((1,), INDEX_DTYPE), jnp.cumsum(lens, dtype=INDEX_DTYPE)])
+    return indptr, flat_c % jnp.asarray(n, INDEX_DTYPE), val_s[:cap]
+
+
+def _bucket_holes(g: int) -> int:
+    b = 1
+    while b < g:
+        b *= 2
+    return b
+
+
 def _dense_extract(c, mask, nnz: int, m: int):
-    """Compress (C, mask) to CSR in row-major order."""
+    """Dispatch extraction by hole count (kept for API compatibility)."""
     n = c.shape[1]
-    flat = jnp.nonzero(mask.ravel(), size=nnz, fill_value=0)[0]
-    row = (flat // n).astype(INDEX_DTYPE)
-    col = (flat % n).astype(INDEX_DTYPE)
-    data = c.ravel()[flat]
-    indptr = prim.build_indptr(row, m)
-    return indptr, col, data
+    g = m * n - nnz
+    if g == 0:
+        return _extract_full(c, mask, m, n)
+    if g <= _SHIFT_EXTRACT_MAX_HOLES:
+        return _extract_shift(c, mask, nnz, _bucket_holes(g), m, n)
+    return _extract_sort(c, mask, nnz, m, n)
 
 
 def _spgemm_alg1(a, b, alpha):
@@ -127,8 +217,11 @@ def _expand(a_rows, a_indices, a_data, b_indptr, b_indices, b_data,
     Expansion order is A-entry order then B-row order — fixed, so downstream
     stable sorts give a deterministic duplicate ordering.
     """
+    # t(p) = #{entries e : ends[e] ≤ p} via marks+cumsum (searchsorted is
+    # ~100x slower on TPU, see benchmarks/strategy_lab.py)
+    marks = jnp.zeros((P + 1,), INDEX_DTYPE).at[ends].add(1, mode="drop")
+    t = jnp.cumsum(marks[:P], dtype=INDEX_DTYPE)
     p = jnp.arange(P, dtype=INDEX_DTYPE)
-    t = jnp.searchsorted(ends, p, side="right").astype(INDEX_DTYPE)
     start = ends[t] - counts[t]
     within = p - start
     k_col = a_indices[t]
@@ -209,8 +302,8 @@ def _chunk_esc(a_indptr_full, a_indices, a_data, a_rows,
     total = ends[-1]
     p = jnp.arange(W, dtype=INDEX_DTYPE)
     valid_p = p < total
-    t = jnp.minimum(
-        jnp.searchsorted(ends, p, side="right").astype(INDEX_DTYPE), E - 1)
+    marks = jnp.zeros((W + 1,), INDEX_DTYPE).at[ends].add(1, mode="drop")
+    t = jnp.minimum(jnp.cumsum(marks[:W], dtype=INDEX_DTYPE), E - 1)
     start = ends[t] - counts[t]
     within = jnp.where(valid_p, p - start, 0)
     k_col = ai[t]
@@ -347,6 +440,50 @@ def spgemm(a, b, alpha=1.0, alg: int = 0, chunk_fraction: float = 0.2,
     if alg == 3:
         return _spgemm_alg3(a, b, alpha, chunk_fraction, verbose)
     raise ValueError(f"unknown alg {alg!r} (expected 0, 1, 2 or 3)")
+
+
+@functools.partial(jax.jit, static_argnames=("m", "k", "n", "cap"))
+def _alg1_fixed(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
+                alpha, m: int, k: int, n: int, cap: int):
+    """Single-dispatch ALG1 pipeline with a static output capacity.
+
+    The jit-traceable SpGEMM: compute + extract fused into one XLA program,
+    output CSR padded to `cap` entries (valid count returned alongside).
+    This is the serving-path API — no host sync inside; size the capacity
+    once with `spgemm_nnz_estimate`/a warmup call and reuse.
+    """
+    c, mask, nnz = _alg1_dense_compute(
+        a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
+        alpha, m, k, n)
+    g = m * n - cap
+    if g == 0:
+        indptr, col, data = _extract_full(c, mask, m, n)
+    elif g <= _SHIFT_EXTRACT_MAX_HOLES:
+        indptr, col, data = _extract_shift(c, mask, cap,
+                                           _bucket_holes(g), m, n)
+    else:
+        indptr, col, data = _extract_sort(c, mask, cap, m, n)
+    valid = jnp.arange(cap, dtype=INDEX_DTYPE) < nnz
+    return indptr, jnp.where(valid, col, 0), jnp.where(valid, data, 0), nnz
+
+
+def spgemm_fixed(a, b, alpha=1.0, cap: Optional[int] = None):
+    """Eager wrapper over the single-dispatch pipeline; returns
+    (CSR padded to cap, true nnz).  cap defaults to a warmup-sized exact
+    capacity."""
+    from spmm_tpu.sparse.csr import CSR
+
+    m, k = a.shape
+    n = b.shape[1]
+    if cap is None:
+        _, _, nnz_dev = _alg1_dense_compute(
+            a.indptr, a.indices, a.data, b.indptr, b.indices, b.data,
+            jnp.asarray(alpha, a.dtype), m, k, n)
+        cap = int(nnz_dev)
+    indptr, col, data, nnz = _alg1_fixed(
+        a.indptr, a.indices, a.data, b.indptr, b.indices, b.data,
+        jnp.asarray(alpha, a.dtype), m, k, n, cap)
+    return CSR.from_parts(indptr, col, data, (m, n), canonical=True), nnz
 
 
 def spgemm_nnz_estimate(a, b) -> Tuple[int, int]:

@@ -86,6 +86,13 @@ def spmm(a, b, alpha=1.0, transa: bool = False, via: str = "csr"):
     alpha = jnp.asarray(alpha, a.dtype)
     if via == "dense":
         return _dense_spmm(a.tocsr().toarray(), b, alpha)
+    if via == "bsr_pallas":
+        from spmm_tpu.ops.kernels.bsr_spmm import spmm_bsr_pallas
+
+        ab = a if isinstance(a, BSR) else a.tobsr()
+        out = spmm_bsr_pallas(ab, b,
+                              interpret=jax.default_backend() != "tpu")
+        return alpha * out
     if via == "bsr" or isinstance(a, BSR):
         ab = a if isinstance(a, BSR) else a.tobsr()
         m = a.shape[0]
