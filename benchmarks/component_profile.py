@@ -19,7 +19,8 @@ sys.path.insert(0, ".")
 
 import spmm_tpu as st  # noqa: E402
 from spmm_tpu.ops import _primitives as prim  # noqa: E402
-from spmm_tpu.ops import spgemm as sg  # noqa: E402
+import importlib
+sg = importlib.import_module('spmm_tpu.ops.spgemm')  # noqa: E402
 
 
 def timeit(name, fn, *args, runs=20):

@@ -14,7 +14,8 @@ from jax import lax
 sys.path.insert(0, ".")
 
 import spmm_tpu as st  # noqa: E402
-from spmm_tpu.ops import spgemm as sg  # noqa: E402
+import importlib
+sg = importlib.import_module('spmm_tpu.ops.spgemm')  # noqa: E402
 from spmm_tpu.ops import _primitives as prim  # noqa: E402
 
 INDEX = jnp.int32

@@ -222,6 +222,60 @@ class SparseMatrix:
             return jnp.minimum(explicit, jnp.asarray(0, self.dtype))
         return explicit
 
+    # -- data ops (the `_data.py` analogue: elementwise on stored values) ---
+
+    def __abs__(self):
+        return self._with_data(jnp.abs(self.data))
+
+    def abs(self):
+        return self.__abs__()
+
+    def power(self, p):
+        """Element-wise power of stored values (scipy `.power`)."""
+        return self._with_data(jnp.power(self.data, p))
+
+    def sqrt(self):
+        return self._with_data(jnp.sqrt(self.data))
+
+    def log1p(self):
+        return self._with_data(jnp.log1p(self.data))
+
+    def expm1(self):
+        return self._with_data(jnp.expm1(self.data))
+
+    def sign(self):
+        return self._with_data(jnp.sign(self.data))
+
+    def ceil(self):
+        return self._with_data(jnp.ceil(self.data))
+
+    def floor(self):
+        return self._with_data(jnp.floor(self.data))
+
+    def rint(self):
+        return self._with_data(jnp.rint(self.data))
+
+    def maximum_scalar(self, s):
+        if s > 0:
+            raise ValueError("maximum with positive scalar densifies")
+        return self._with_data(jnp.maximum(self.data, s))
+
+    def minimum_scalar(self, s):
+        if s < 0:
+            raise ValueError("minimum with negative scalar densifies")
+        return self._with_data(jnp.minimum(self.data, s))
+
+    @property
+    def real(self):
+        return self._with_data(jnp.real(self.data))
+
+    @property
+    def imag(self):
+        return self._with_data(jnp.imag(self.data))
+
+    def count_nonzero(self) -> int:
+        return int(jnp.sum(self.data != 0))
+
     # -- misc ---------------------------------------------------------------
 
     def _with_data(self, data):  # pragma: no cover - abstract

@@ -200,6 +200,11 @@ class CSR(SparseMatrix):
                               self.data[start:end], (1, self._shape[1]),
                               canonical=self._canonical)
 
+    def __getitem__(self, key):
+        from spmm_tpu.sparse import indexing
+
+        return indexing.csr_getitem(self, key)
+
     def diagonal(self, k: int = 0):
         coo = self.tocoo()
         m, n = self._shape
