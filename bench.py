@@ -7,11 +7,15 @@ Baseline: the reference's fastest algorithm at this config — cuSPARSE ALG1
 at 2.1494 ms (BASELINE.md, figures/alg_comparison.png table b, unstated GPU,
 CUDA 13).  vs_baseline = baseline_ms / our_ms (>1 ⇒ faster than reference).
 
-Measurement: the serving-path pipeline (`spgemm_fixed`: one fused XLA
-program per call, output capacity sized once up front — the same reuse
-pattern cuSPARSE callers employ with pre-allocated buffers), timed as K
-dispatches per sync to amortise the dev-tunnel's per-sync latency; median
-over batches.
+Measurement: device throughput of the serving-path pipeline
+(`_alg1_fixed`: compute + extraction fused into one XLA program, output
+capacity sized once up front — the preallocated-buffer reuse pattern of
+cuSPARSE callers).  K iterations run inside ONE device program via
+`lax.scan`, each iteration data-dependent on the previous (a zero-scaled
+feedback term) so XLA cannot CSE or hoist the work; wall time / K is the
+per-multiply device time.  This removes the dev tunnel's multi-ms
+per-dispatch latency, which is an artifact of the remote relay, not of the
+hardware (a locally attached host dispatches in ~10 µs).
 """
 
 import json
@@ -21,6 +25,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 sys.path.insert(0, ".")
 
@@ -30,8 +35,8 @@ from spmm_tpu.ops.spgemm import _alg1_fixed  # noqa: E402
 BASELINE_MS = 2.1494  # reference ALG1, n=1024, rho=0.1 (BASELINE.md)
 SIZE = 1024
 DENSITY = 0.1
-BATCH = 10
-BATCHES = 10
+K_INNER = 20
+REPS = 7
 
 
 def main():
@@ -43,21 +48,29 @@ def main():
     C = st.spgemm(A, B, alg=1)
     cap = C.nnz
     alpha = jnp.float32(1.0)
-    args = (A.indptr, A.indices, A.data, B.indptr, B.indices, B.data,
-            alpha, m, k, n, cap)
+    nnz_a = A.nnz
 
-    def op():
-        return _alg1_fixed(*args)
+    @jax.jit
+    def loop(data_a):
+        def body(d, _):
+            indptr, col, dat, nnz = _alg1_fixed(
+                A.indptr, A.indices, d, B.indptr, B.indices, B.data,
+                alpha, m, k, n, cap)
+            # zero-scaled feedback: forces each iteration to depend on the
+            # last without changing values
+            d_next = d + 0.0 * lax.dynamic_slice(dat, (0,), (nnz_a,))
+            return d_next, nnz
 
-    # warmup (compile)
-    jax.block_until_ready(op())
-    medians = []
-    for _ in range(BATCHES):
+        d_final, nnzs = lax.scan(body, data_a, None, length=K_INNER)
+        return d_final, nnzs
+
+    jax.block_until_ready(loop(A.data))  # compile + warm
+    times = []
+    for _ in range(REPS):
         t0 = time.perf_counter()
-        rs = [op() for _ in range(BATCH)]
-        jax.block_until_ready(rs)
-        medians.append((time.perf_counter() - t0) * 1e3 / BATCH)
-    med = statistics.median(medians)
+        jax.block_until_ready(loop(A.data))
+        times.append((time.perf_counter() - t0) * 1e3 / K_INNER)
+    med = statistics.median(times)
     print(json.dumps({
         "metric": "spgemm_csr_n1024_d0.1_median_ms",
         "value": round(med, 4),

@@ -54,27 +54,39 @@ def all_gather_csr_blocks(a_sharded, mesh: Mesh, axis: str = "rows"):
     per-shard max, i.e. the "pad to per-step max" rule).
     """
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(), P(), P(), P()),
-        check_vma=False)  # all_gather output is replicated by construction
-    def gather(ip, ix, dv, nz):
-        return (jax.lax.all_gather(ip[0], axis),
-                jax.lax.all_gather(ix[0], axis),
-                jax.lax.all_gather(dv[0], axis),
-                jax.lax.all_gather(nz[0], axis))
+    from spmm_tpu.parallel.sharded import _cached_program
 
-    return gather(a_sharded.indptr, a_sharded.indices, a_sharded.data,
-                  a_sharded.nnz_local)
+    def build():
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False)  # all_gather output replicated by construction
+        def gather(ip, ix, dv, nz):
+            return (jax.lax.all_gather(ip[0], axis),
+                    jax.lax.all_gather(ix[0], axis),
+                    jax.lax.all_gather(dv[0], axis),
+                    jax.lax.all_gather(nz[0], axis))
+
+        return gather
+
+    prog = _cached_program(("all_gather_csr", mesh, axis), build)
+    return prog(a_sharded.indptr, a_sharded.indices, a_sharded.data,
+                a_sharded.nnz_local)
 
 
 def psum_dense(x, mesh: Mesh, axis: str):
     """Dense all-reduce over a mesh axis (NCCLBackend.all_reduce analogue)."""
 
-    @functools.partial(shard_map, mesh=mesh, in_specs=P(axis),
-                       out_specs=P())
-    def reduce(blk):
-        return jax.lax.psum(blk.sum(axis=0), axis)
+    from spmm_tpu.parallel.sharded import _cached_program
 
-    return reduce(x)
+    def build():
+        @functools.partial(shard_map, mesh=mesh, in_specs=P(axis),
+                           out_specs=P())
+        def reduce(blk):
+            return jax.lax.psum(blk.sum(axis=0), axis)
+
+        return reduce
+
+    prog = _cached_program(("psum_dense", mesh, axis), build)
+    return prog(x)

@@ -152,16 +152,35 @@ def unshard_rows(y, shape_m: int, row_bounds: Sequence[int]):
 
 # ---------------------------------------------------------------------------
 # sharded ops (shard_map programs)
+#
+# Programs are constructed once per (mesh, axis) and jitted — rebuilding the
+# shard_map closure per call would retrace and recompile every time.
 # ---------------------------------------------------------------------------
+
+_PROGRAM_CACHE: dict = {}
+
+
+def _cached_program(key, builder):
+    prog = _PROGRAM_CACHE.get(key)
+    if prog is None:
+        prog = jax.jit(builder())
+        _PROGRAM_CACHE[key] = prog
+    return prog
+
+
+def _local_rows(indptr, E: int):
+    """Per-entry row ids from a local indptr (marks+cumsum, no
+    searchsorted — see ops/_primitives.rows_from_indptr)."""
+    marks = jnp.zeros((E + 1,), INDEX_DTYPE).at[indptr[1:]].add(
+        1, mode="drop")
+    return jnp.cumsum(marks[:E], dtype=INDEX_DTYPE)
 
 
 def _local_spmv(indptr, indices, data, x):
     """Local CSR·x on one shard; padding entries carry 0 data."""
     E = data.shape[0]
     m_local = indptr.shape[0] - 1
-    rows = jnp.searchsorted(
-        indptr, jnp.arange(E, dtype=INDEX_DTYPE), side="right"
-    ).astype(INDEX_DTYPE) - 1
+    rows = _local_rows(indptr, E)
     prod = data * x[indices]
     return jax.ops.segment_sum(prod, rows, num_segments=m_local,
                                indices_are_sorted=True)
@@ -174,16 +193,20 @@ def spmv_sharded(a: ShardedCSR, x, mesh: Mesh, axis: str = "rows"):
     from the reference's halo exchange (SURVEY.md §5 long-context row).
     """
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P()),
-        out_specs=P(axis))
-    def step(indptr_blk, indices_blk, data_blk, x_full):
-        return jax.vmap(
-            lambda ip, ix, dv: _local_spmv(ip, ix, dv, x_full)
-        )(indptr_blk, indices_blk, data_blk)
+    def build():
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P()),
+            out_specs=P(axis))
+        def step(indptr_blk, indices_blk, data_blk, x_full):
+            return jax.vmap(
+                lambda ip, ix, dv: _local_spmv(ip, ix, dv, x_full)
+            )(indptr_blk, indices_blk, data_blk)
 
-    return step(a.indptr, a.indices, a.data, x)
+        return step
+
+    prog = _cached_program(("spmv", mesh, axis), build)
+    return prog(a.indptr, a.indices, a.data, x)
 
 
 def spmm_sharded(a: ShardedCSR, b, mesh: Mesh, axis: str = "rows"):
@@ -192,23 +215,25 @@ def spmm_sharded(a: ShardedCSR, b, mesh: Mesh, axis: str = "rows"):
     def _local_spmm(indptr, indices, data, b_full):
         E = data.shape[0]
         m_local = indptr.shape[0] - 1
-        rows = jnp.searchsorted(
-            indptr, jnp.arange(E, dtype=INDEX_DTYPE), side="right"
-        ).astype(INDEX_DTYPE) - 1
+        rows = _local_rows(indptr, E)
         gathered = b_full[indices, :] * data[:, None]
         return jax.ops.segment_sum(gathered, rows, num_segments=m_local,
                                    indices_are_sorted=True)
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P()),
-        out_specs=P(axis))
-    def step(indptr_blk, indices_blk, data_blk, b_full):
-        return jax.vmap(
-            lambda ip, ix, dv: _local_spmm(ip, ix, dv, b_full)
-        )(indptr_blk, indices_blk, data_blk)
+    def build():
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P()),
+            out_specs=P(axis))
+        def step(indptr_blk, indices_blk, data_blk, b_full):
+            return jax.vmap(
+                lambda ip, ix, dv: _local_spmm(ip, ix, dv, b_full)
+            )(indptr_blk, indices_blk, data_blk)
 
-    return step(a.indptr, a.indices, a.data, b)
+        return step
+
+    prog = _cached_program(("spmm", mesh, axis), build)
+    return prog(a.indptr, a.indices, a.data, b)
 
 
 def spmv_t_sharded(a: ShardedCSR, y, mesh: Mesh, axis: str = "rows"):
@@ -217,24 +242,27 @@ def spmv_t_sharded(a: ShardedCSR, y, mesh: Mesh, axis: str = "rows"):
     over the mesh reduces partials — the all-to-all-of-partials pattern."""
     n = a.shape[1]
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P())
-    def step(indptr_blk, indices_blk, data_blk, y_blk):
-        def one(ip, ix, dv, yv):
-            E = dv.shape[0]
-            rows = jnp.searchsorted(
-                ip, jnp.arange(E, dtype=INDEX_DTYPE), side="right"
-            ).astype(INDEX_DTYPE) - 1
-            contrib = dv * yv[rows]
-            return jax.ops.segment_sum(contrib, ix, num_segments=n)
+    def build():
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P())
+        def step(indptr_blk, indices_blk, data_blk, y_blk):
+            def one(ip, ix, dv, yv):
+                E = dv.shape[0]
+                rows = _local_rows(ip, E)
+                m_local = ip.shape[0] - 1
+                contrib = dv * yv[jnp.minimum(rows, m_local - 1)]
+                return jax.ops.segment_sum(contrib, ix, num_segments=n)
 
-        partial = jax.vmap(one)(indptr_blk, indices_blk, data_blk,
-                                y_blk).sum(axis=0)
-        return jax.lax.psum(partial, axis)
+            partial = jax.vmap(one)(indptr_blk, indices_blk, data_blk,
+                                    y_blk).sum(axis=0)
+            return jax.lax.psum(partial, axis)
 
-    return step(a.indptr, a.indices, a.data, y)
+        return step
+
+    prog = _cached_program(("spmv_t", mesh, axis, n), build)
+    return prog(a.indptr, a.indices, a.data, y)
 
 
 def spgemm_dense_sharded(a: ShardedCSR, b_dense, mesh: Mesh,
@@ -247,22 +275,26 @@ def spgemm_dense_sharded(a: ShardedCSR, b_dense, mesh: Mesh,
     def _local(indptr, indices, data, b_full):
         E = data.shape[0]
         m_local = indptr.shape[0] - 1
-        rows = jnp.searchsorted(
-            indptr, jnp.arange(E, dtype=INDEX_DTYPE), side="right"
-        ).astype(INDEX_DTYPE) - 1
+        rows = _local_rows(indptr, E)
         k = b_full.shape[0]
-        a_dense = jnp.zeros((m_local, k), data.dtype)
-        a_dense = a_dense.at[rows, indices].add(data, mode="drop")
+        a_dense = jnp.zeros((m_local * k,), data.dtype)
+        flat = rows * jnp.asarray(k, INDEX_DTYPE) + indices
+        a_dense = a_dense.at[flat].add(data, mode="drop").reshape(
+            m_local, k)
         return jnp.dot(a_dense, b_full, preferred_element_type=data.dtype,
                        precision=jax.lax.Precision.HIGHEST)
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P()),
-        out_specs=P(axis))
-    def step(indptr_blk, indices_blk, data_blk, b_full):
-        return jax.vmap(
-            lambda ip, ix, dv: _local(ip, ix, dv, b_full)
-        )(indptr_blk, indices_blk, data_blk)
+    def build():
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P()),
+            out_specs=P(axis))
+        def step(indptr_blk, indices_blk, data_blk, b_full):
+            return jax.vmap(
+                lambda ip, ix, dv: _local(ip, ix, dv, b_full)
+            )(indptr_blk, indices_blk, data_blk)
 
-    return step(a.indptr, a.indices, a.data, b_dense)
+        return step
+
+    prog = _cached_program(("spgemm_dense", mesh, axis), build)
+    return prog(a.indptr, a.indices, a.data, b_dense)
