@@ -23,13 +23,46 @@ import spmm_tpu as st  # noqa: E402
 from spmm_tpu.utils import profiler  # noqa: E402
 
 
-def run_case(size, density, runs, chunk_fraction, dtype, seed, algs):
+def _device_loop_ms(A, B, size, iters=20):
+    """alg1 serving-path throughput: K pipeline iterations in one program
+    (see bench.py — removes per-dispatch latency from the figure)."""
+    import time
+
+    import jax
+    from jax import lax
+
+    from spmm_tpu.ops.spgemm import _alg1_fixed
+
+    cap = st.spgemm(A, B, alg=1).nnz
+    nnz_a = A.nnz
+
+    @jax.jit
+    def loop(data_a):
+        def body(d, _):
+            _, _, dat, nnz = _alg1_fixed(
+                A.indptr, A.indices, d, B.indptr, B.indices, B.data,
+                jnp.float32(1.0), size, size, size, cap)
+            return d + 0.0 * jax.lax.dynamic_slice(dat, (0,), (nnz_a,)), nnz
+
+        return lax.scan(body, data_a, None, length=iters)
+
+    jax.block_until_ready(loop(A.data))
+    t0 = time.perf_counter()
+    jax.block_until_ready(loop(A.data))
+    return (time.perf_counter() - t0) * 1e3 / iters
+
+
+def run_case(size, density, runs, chunk_fraction, dtype, seed, algs,
+             device_loop=False):
     m = k = n = size
     A = st.random(m, k, density, format="csr", dtype=dtype,
                   random_state=seed)
     B = st.random(k, n, density, format="csr", dtype=dtype,
                   random_state=seed + 1)
     results = {}
+    if device_loop:
+        ms = _device_loop_ms(A, B, size)
+        print(f"alg1 device-loop throughput: {ms:.4f} ms/multiply")
     for alg in algs:
         def op(alg=alg):
             return st.spgemm(A, B, alg=alg,
@@ -53,6 +86,8 @@ def main(argv=None):
     p.add_argument("--dtype", default="float32")
     p.add_argument("--seed", type=int, default=2008)
     p.add_argument("--algs", type=int, nargs="+", default=[1, 2, 3])
+    p.add_argument("--device-loop", action="store_true",
+                   help="also report alg1 device-loop throughput")
     p.add_argument("--json", action="store_true", help="emit one JSON line per case")
     args = p.parse_args(argv)
     dtype = jnp.dtype(args.dtype)
@@ -60,7 +95,7 @@ def main(argv=None):
         print(f"=== SpGEMM alg comparison: n={size} density={density} "
               f"runs={args.runs} ===")
         res = run_case(size, density, args.runs, args.chunk_fraction, dtype,
-                       args.seed, args.algs)
+                       args.seed, args.algs, device_loop=args.device_loop)
         if args.json:
             for alg, r in res.items():
                 print(json.dumps({

@@ -216,6 +216,52 @@ def csr_to_dense_canonical(indptr, indices, data, shape: Tuple[int, int]):
 
 
 # ---------------------------------------------------------------------------
+# fp32-grade matmul via manual bf16 splits
+# ---------------------------------------------------------------------------
+
+
+def _bf16_split3(x):
+    """x (f32) = hi + mid + lo, each exactly representable in bf16
+    (8+8+8 mantissa bits ⊇ f32's 24).
+
+    The splits are produced with mantissa bit-masking rather than rounding
+    casts: under `--xla_allow_excess_precision=true` (set by some TPU
+    toolchains) XLA may fold `x - f32(bf16(x))` to zero, silently reducing
+    a cast-based split to a single lossy pass.  Bitwise masking is opaque
+    to that rewrite.
+    """
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(
+        bits & jnp.int32(-65536), jnp.float32)          # keep top 8 man. bits
+    r1 = x - hi
+    bits1 = jax.lax.bitcast_convert_type(r1, jnp.int32)
+    mid = jax.lax.bitcast_convert_type(
+        bits1 & jnp.int32(-65536), jnp.float32)
+    lo = r1 - mid
+    return (hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
+            lo.astype(jnp.bfloat16))
+
+
+def matmul_f32_bf16x6(a, b):
+    """fp32-accuracy matmul as six bf16 MXU passes (the bf16x6 algorithm):
+    Σ a_i @ b_j over split pairs of combined order ≤ 2, f32 accumulation.
+
+    Accuracy class of `precision=HIGHEST`.  Measured on v5e the fused
+    HIGHEST lowering is currently *faster* than six separate DEFAULT dots,
+    so the framework uses HIGHEST by default; this stays as the portable
+    spelled-out alternative.
+    """
+    ah, am, al = _bf16_split3(a)
+    bh, bm, bl = _bf16_split3(b)
+
+    def mm(x, y):
+        return jnp.dot(x, y, preferred_element_type=jnp.float32)
+
+    return (((mm(al, bh) + mm(am, bm)) + mm(ah, bl))
+            + (mm(am, bh) + mm(ah, bm))) + mm(ah, bh)
+
+
+# ---------------------------------------------------------------------------
 # fixed-tree segmented sum (bit-exact cross-implementation path)
 # ---------------------------------------------------------------------------
 

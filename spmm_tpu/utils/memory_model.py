@@ -1,0 +1,69 @@
+"""Analytic peak-HBM model for the SpGEMM strategies.
+
+The reference reports measured ΔPeak-VRAM per algorithm
+(SpGEMM_alg_comparison/profiler.py:82-133); on TPU backends without
+`device.memory_stats()` (e.g. remote relays) this model provides the same
+trade-off picture analytically, and `utils.profiler.profile_op` reports the
+measured delta where stats exist.  Byte counts assume fp32 data / int32
+indices.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+
+def alg1_peak_bytes(m: int, k: int, n: int, nnz_a: int, nnz_b: int,
+                    nnz_c: int) -> int:
+    """Dense-intermediate: A,B dense f32 + bf16 patterns + C dense + counts
+    + mask + compacted output."""
+    dense = 4 * (m * k + k * n)          # value matrices
+    patterns = 2 * (m * k + k * n)       # bf16 patterns
+    c_dense = 4 * m * n                  # product
+    counts = 4 * m * n                   # pattern counts (f32)
+    mask = m * n                         # bool
+    out = 8 * nnz_c + 4 * (m + 1)
+    inputs = 8 * (nnz_a + nnz_b)
+    return dense + patterns + c_dense + counts + mask + out + inputs
+
+
+def alg2_peak_bytes(m: int, k: int, n: int, nnz_a: int, nnz_b: int,
+                    products: int, nnz_c: int) -> int:
+    """ESC: expanded triplets (row, col, val) + sort copies + scan."""
+    triplets = 12 * products             # row+col+val
+    sort_ws = 12 * products              # lax.sort double-buffers
+    scan = 8 * products                  # segsum tree + flags
+    out = 8 * nnz_c + 4 * (m + 1)
+    inputs = 8 * (nnz_a + nnz_b)
+    return triplets + sort_ws + scan + out + inputs
+
+
+def alg3_peak_bytes(m: int, k: int, n: int, nnz_a: int, nnz_b: int,
+                    products: int, nnz_c: int,
+                    chunk_fraction: float = 0.2) -> int:
+    """Chunked ESC: one chunk workspace live at a time + accumulated out."""
+    w = max(1, int(products * min(max(chunk_fraction, 1e-3), 1.0)))
+    chunk_ws = (12 + 12 + 8) * w
+    out = 8 * nnz_c + 4 * (m + 1)
+    inputs = 8 * (nnz_a + nnz_b)
+    return chunk_ws + out + inputs
+
+
+def spgemm_peak_estimate(a, b, alg: int = 1,
+                         chunk_fraction: float = 0.2) -> Dict[str, float]:
+    """Peak-HBM estimate for `spgemm(a, b, alg)` without running it."""
+    from spmm_tpu.ops.spgemm import spgemm_nnz_estimate
+
+    m, k = a.shape
+    n = b.shape[1]
+    products, ub = spgemm_nnz_estimate(a, b)
+    nnz_c = min(ub, m * n)  # upper bound
+    if alg in (0, 1):
+        peak = alg1_peak_bytes(m, k, n, a.nnz, b.nnz, nnz_c)
+    elif alg == 2:
+        peak = alg2_peak_bytes(m, k, n, a.nnz, b.nnz, products, nnz_c)
+    else:
+        peak = alg3_peak_bytes(m, k, n, a.nnz, b.nnz, products, nnz_c,
+                               chunk_fraction)
+    return {"alg": alg, "products": products, "nnz_c_upper": nnz_c,
+            "peak_bytes": peak, "peak_mb": peak / 2**20}

@@ -1,0 +1,34 @@
+"""Memory-model sanity: the alg1/2/3 peak ordering matches the reference's
+qualitative invariant at the reference's configs (BASELINE.md: ALG1 most
+memory, ALG3 least, ALG2 between — for the dense-output regime)."""
+
+import pytest
+
+import spmm_tpu as st
+from spmm_tpu.utils.memory_model import spgemm_peak_estimate
+
+
+def test_ordering_at_reference_config():
+    A = st.random(512, 512, 0.5, format="csr", random_state=0)
+    B = st.random(512, 512, 0.5, format="csr", random_state=1)
+    peaks = {alg: spgemm_peak_estimate(A, B, alg)["peak_mb"]
+             for alg in (1, 2, 3)}
+    # dense-output regime: ESC workspace (∝ products) dwarfs dense arrays,
+    # chunking cuts it by ~chunk_fraction
+    assert peaks[2] > peaks[3]
+    assert peaks[3] < peaks[2]
+    assert all(p > 0 for p in peaks.values())
+
+
+def test_chunk_fraction_scales_alg3():
+    A = st.random(256, 256, 0.3, format="csr", random_state=0)
+    p_small = spgemm_peak_estimate(A, A, 3, chunk_fraction=0.05)["peak_bytes"]
+    p_big = spgemm_peak_estimate(A, A, 3, chunk_fraction=0.5)["peak_bytes"]
+    assert p_small < p_big
+
+
+def test_products_reported():
+    A = st.random(64, 64, 0.2, format="csr", random_state=0)
+    est = spgemm_peak_estimate(A, A, 2)
+    assert est["products"] > 0
+    assert est["nnz_c_upper"] <= 64 * 64
