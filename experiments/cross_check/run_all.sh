@@ -9,6 +9,13 @@
 set -u
 cd "$(dirname "$0")/../.."
 
+# Default to CPU: these are correctness suites; the ambient env may point
+# JAX at a remote TPU whose per-process startup dwarfs the run.  Set
+# SPMM_PLATFORM=tpu to exercise the TPU backend instead.
+if [ "${SPMM_PLATFORM:-cpu}" = "cpu" ]; then
+    export JAX_PLATFORM_NAME=cpu JAX_PLATFORMS=cpu
+fi
+
 SIZES=${SIZES:-"32 64 128 256 512"}
 DENSITIES=${DENSITIES:-"0.01 0.1 0.5"}
 ALGS=${ALGS:-"2 3"}

@@ -8,6 +8,13 @@
 set -u
 cd "$(dirname "$0")/../.."
 
+# Default to CPU: these are correctness suites; the ambient env may point
+# JAX at a remote TPU whose per-process startup dwarfs the run.  Set
+# SPMM_PLATFORM=tpu to exercise the TPU backend instead.
+if [ "${SPMM_PLATFORM:-cpu}" = "cpu" ]; then
+    export JAX_PLATFORM_NAME=cpu JAX_PLATFORMS=cpu
+fi
+
 SEEDS=${SEEDS:-"1 2 3 4 5 6 7 8 9 10"}
 SIZES=${SIZES:-"32 64 128 256"}
 DENSITIES=${DENSITIES:-"0.01 0.1 0.3 0.5"}

@@ -78,27 +78,33 @@ def _densify_marked(indptr, indices, data, m: int, k: int):
                             unique_indices=True).reshape(m, k)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "k", "n"))
+@functools.partial(jax.jit, static_argnames=("m", "k", "n", "precision"))
 def _alg1_dense_compute(a_indptr, a_indices, a_data,
                         b_indptr, b_indices, b_data,
-                        alpha, m: int, k: int, n: int):
+                        alpha, m: int, k: int, n: int,
+                        precision: str = "highest"):
     """Dense value + structural-pattern matmuls; returns (C, mask, nnz).
 
     One scatter per operand: the value array is the marked dense with TINY
     mapped back to 0; the bf16 pattern is a compare of the same array
     (bf16 0/1 inputs accumulate exactly in the MXU's f32 for k < 2**24).
+
+    `precision`: "highest" (bf16x6, fp32-grade, default) | "high" (bf16x3,
+    rel err ~5e-7 — inside the reference's own ALG1-vs-ALG3 spread) |
+    "default" (single bf16 pass, throughput studies only).  A manual
+    bf16-split matmul is deliberately NOT used: TPU toolchains may compile
+    with --xla_allow_excess_precision=true, which folds cast-based splits
+    into one lossy pass (measured 6e-3 rel error).
     """
     ad_m = _densify_marked(a_indptr, a_indices, a_data, m, k)
     bd_m = _densify_marked(b_indptr, b_indices, b_data, k, n)
     tiny = jnp.asarray(_TINY, ad_m.dtype)
     ad = jnp.where(ad_m == tiny, 0, ad_m)
     bd = jnp.where(bd_m == tiny, 0, bd_m)
-    # NOTE: precision=HIGHEST, not a manual bf16x6 split — the relay
-    # compiles with --xla_allow_excess_precision=true which folds manual
-    # split arithmetic into a single lossy pass (measured 6e-3 rel error),
-    # and XLA's own HIGHEST lowering is faster than six DEFAULT dots here.
-    c = jnp.dot(ad, bd, preferred_element_type=ad.dtype,
-                precision=jax.lax.Precision.HIGHEST)
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[precision]
+    c = jnp.dot(ad, bd, preferred_element_type=ad.dtype, precision=prec)
     a_pat = (ad_m != 0).astype(jnp.bfloat16)
     b_pat = (bd_m != 0).astype(jnp.bfloat16)
     counts = jnp.dot(a_pat, b_pat, preferred_element_type=jnp.float32)
@@ -184,14 +190,14 @@ def _dense_extract(c, mask, nnz: int, m: int):
     return _extract_sort(c, mask, nnz, m, n)
 
 
-def _spgemm_alg1(a, b, alpha):
+def _spgemm_alg1(a, b, alpha, precision: str = "highest"):
     from spmm_tpu.sparse.csr import CSR
 
     m, k = a.shape
     n = b.shape[1]
     c, mask, nnz_dev = _alg1_dense_compute(
         a.indptr, a.indices, a.data, b.indptr, b.indices, b.data,
-        jnp.asarray(alpha, a.dtype), m, k, n)
+        jnp.asarray(alpha, a.dtype), m, k, n, precision)
     nnz = int(nnz_dev)  # host sync — the analogue of spMatGetSize
     indptr, col, data = _dense_extract(c, mask, nnz, m)
     return CSR.from_parts(indptr, col, data, (m, n), canonical=True)
@@ -220,25 +226,54 @@ def _expand(a_rows, a_indices, a_data, b_indptr, b_indices, b_data,
 
     Expansion order is A-entry order then B-row order — fixed, so downstream
     stable sorts give a deterministic duplicate ordering.
+
+    Per-A-entry quantities (row id, B-row start, segment start, A value) are
+    piecewise-constant over each entry's product segment, so they are
+    reconstructed by scattering per-entry DELTAS at segment heads and taking
+    one cumsum — exact for int32, and exact for f32 via its bit pattern.
+    TPU gathers serialise at ~8 ns/element, so this turns five P-sized
+    gathers into nnz-sized scatters + cumsums; only the two B-side gathers
+    (whose indices advance inside a segment) remain.
     """
-    # t(p) = #{entries e : ends[e] ≤ p} via marks+cumsum (searchsorted is
-    # ~100x slower on TPU, see benchmarks/strategy_lab.py)
-    marks = jnp.zeros((P + 1,), INDEX_DTYPE).at[ends].add(1, mode="drop")
-    t = jnp.cumsum(marks[:P], dtype=INDEX_DTYPE)
+    heads = ends - counts  # segment start position of each A entry (p-space)
+
+    def bcast(vals):
+        """Piecewise-constant broadcast of per-entry int32 values onto the
+        P product slots (Δ-scatter at heads + cumsum; duplicate heads from
+        empty segments telescope correctly)."""
+        deltas = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]])
+        buf = jnp.zeros((P,), INDEX_DTYPE).at[heads].add(
+            deltas, mode="drop")
+        return jnp.cumsum(buf, dtype=INDEX_DTYPE)
+
     p = jnp.arange(P, dtype=INDEX_DTYPE)
-    start = ends[t] - counts[t]
-    within = p - start
-    k_col = a_indices[t]
-    b_pos = b_indptr[k_col] + within
-    row = a_rows[t]
-    col = b_indices[b_pos]
-    val = a_data[t] * b_data[b_pos]
+    row = bcast(a_rows)
+    b_start = bcast(b_indptr[a_indices])      # nnz-sized gather only
+    seg_start = bcast(heads)
+    b_pos = b_start + (p - seg_start)
+    col = b_indices[b_pos]                    # P-sized gather (unavoidable)
+    b_val = b_data[b_pos]                     # P-sized gather (unavoidable)
+    a_bits = jax.lax.bitcast_convert_type(a_data, jnp.int32)
+    a_val = jax.lax.bitcast_convert_type(bcast(a_bits), jnp.float32)
+    val = a_val * b_val
     return row, col, val
 
 
 @jax.jit
 def _compress_count(row_s, col_s):
     return prim.count_unique_sorted(row_s, col_s)
+
+
+def _compact_positions(flags, count: int):
+    """Positions of the first `count` set flags, in order — via stable-sort
+    compaction.  `jnp.nonzero(size=)` lowers to a full-length scatter
+    (~18 ns/element serialised on TPU); a (int8 key, iota) sort is ~30x
+    faster at the 10M scale (see CLAUDE.md perf notes)."""
+    n = flags.shape[0]
+    keys = jnp.where(flags, jnp.int8(0), jnp.int8(1))
+    idxs = jnp.arange(n, dtype=INDEX_DTYPE)
+    _, pos = jax.lax.sort((keys, idxs), num_keys=1, is_stable=True)
+    return pos[:count]
 
 
 @functools.partial(jax.jit, static_argnames=("nnz_c", "m"))
@@ -249,7 +284,7 @@ def _compress(row_s, col_s, val_s, alpha, nnz_c: int, m: int):
         [jnp.ones((1,), jnp.bool_),
          (row_s[1:] != row_s[:-1]) | (col_s[1:] != col_s[:-1])])
     scanned = prim.segsum_tree(val_s, new_group)
-    first_pos = jnp.nonzero(new_group, size=nnz_c, fill_value=0)[0]
+    first_pos = _compact_positions(new_group, nnz_c)
     last_pos = jnp.concatenate(
         [first_pos[1:], jnp.array([P], first_pos.dtype)]) - 1
     out_row = row_s[first_pos]
@@ -257,6 +292,20 @@ def _compress(row_s, col_s, val_s, alpha, nnz_c: int, m: int):
     out_val = alpha * scanned[last_pos]
     indptr = prim.build_indptr(out_row, m)
     return indptr, out_col, out_val
+
+
+@functools.partial(jax.jit, static_argnames=("P", "m", "n"))
+def _esc_expand_sort_count(a_rows, a_indices, a_data,
+                           b_indptr, b_indices, b_data,
+                           counts, ends, P: int, m: int, n: int):
+    """Fused ESC numeric front half: expand all P partial products,
+    stable-lexsort by (row, col), count unique pairs — one device program
+    between the two host sizing readbacks."""
+    row, col, val = _expand(a_rows, a_indices, a_data,
+                            b_indptr, b_indices, b_data, counts, ends, P)
+    row_s, col_s, (val_s,) = prim.lexsort_rowcol(row, col, (val,), (m, n))
+    nnz_c = prim.count_unique_sorted(row_s, col_s)
+    return row_s, col_s, val_s, nnz_c
 
 
 def _spgemm_alg2(a, b, alpha):
@@ -270,10 +319,10 @@ def _spgemm_alg2(a, b, alpha):
     P = int(ends[-1])  # host sync — sizing readback (workEstimation)
     if P == 0:
         return _empty_csr(m, n, a.dtype)
-    row, col, val = _expand(a.rows, a.indices, a.data,
-                            b.indptr, b.indices, b.data, counts, ends, P)
-    row_s, col_s, (val_s,) = prim.lexsort_rowcol(row, col, (val,), (m, n))
-    nnz_c = int(_compress_count(row_s, col_s))  # host sync (spMatGetSize)
+    row_s, col_s, val_s, nnz_dev = _esc_expand_sort_count(
+        a.rows, a.indices, a.data, b.indptr, b.indices, b.data,
+        counts, ends, P, m, n)
+    nnz_c = int(nnz_dev)  # host sync (spMatGetSize)
     indptr, out_col, out_val = _compress(
         row_s, col_s, val_s, jnp.asarray(alpha, a.dtype), nnz_c, m)
     return CSR.from_parts(indptr, out_col, out_val, (m, n), canonical=True)
@@ -306,15 +355,26 @@ def _chunk_esc(a_indptr_full, a_indices, a_data, a_rows,
     total = ends[-1]
     p = jnp.arange(W, dtype=INDEX_DTYPE)
     valid_p = p < total
-    marks = jnp.zeros((W + 1,), INDEX_DTYPE).at[ends].add(1, mode="drop")
-    t = jnp.minimum(jnp.cumsum(marks[:W], dtype=INDEX_DTYPE), E - 1)
-    start = ends[t] - counts[t]
-    within = jnp.where(valid_p, p - start, 0)
-    k_col = ai[t]
-    b_pos = jnp.minimum(b_indptr[k_col] + within, b_indices.shape[0] - 1)
-    row = jnp.where(valid_p, ar[t], m)
+    heads = ends - counts
+
+    def bcast(vals):
+        # piecewise-constant broadcast onto product slots (see _expand)
+        deltas = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]])
+        buf = jnp.zeros((W,), INDEX_DTYPE).at[
+            jnp.minimum(heads, W - 1)].add(
+                jnp.where(heads < W, deltas, 0), mode="drop")
+        return jnp.cumsum(buf, dtype=INDEX_DTYPE)
+
+    b_start = bcast(b_indptr[ai])
+    seg_start = bcast(heads)
+    within = jnp.where(valid_p, p - seg_start, 0)
+    b_pos = jnp.minimum(b_start + within, b_indices.shape[0] - 1)
+    b_pos = jnp.maximum(b_pos, 0)
+    row = jnp.where(valid_p, bcast(ar), m)
+    a_bits = jax.lax.bitcast_convert_type(ad, jnp.int32)
+    a_val = jax.lax.bitcast_convert_type(bcast(a_bits), jnp.float32)
     col = jnp.where(valid_p, b_indices[b_pos], n - 1)
-    val = jnp.where(valid_p, ad[t] * b_data[b_pos], 0)
+    val = jnp.where(valid_p, a_val * b_data[b_pos], 0)
     # lex sort; invalid lanes (row=m) land at the end
     row_s, col_s, (val_s,) = prim.lexsort_rowcol(row, col, (val,), (m + 1, n))
     new_group = jnp.concatenate(
@@ -332,10 +392,10 @@ def _chunk_extract(row_s, col_s, val_s, new_group, valid_s, alpha,
     # Valid segments occupy a prefix of the sorted workspace (the invalid
     # sentinel run sorts last), so the first nnz_c segment heads — and the
     # first nnz_c segment tails — are exactly the valid ones.
-    first_pos = jnp.nonzero(new_group, size=nnz_c, fill_value=0)[0]
+    first_pos = _compact_positions(new_group, nnz_c)
     last_flags = jnp.concatenate(
         [new_group[1:], jnp.ones((1,), jnp.bool_)])
-    last_pos = jnp.nonzero(last_flags, size=nnz_c, fill_value=0)[0]
+    last_pos = _compact_positions(last_flags, nnz_c)
     return row_s[first_pos], col_s[first_pos], alpha * scanned[last_pos]
 
 
@@ -414,7 +474,7 @@ def _empty_csr(m, n, dtype):
 
 
 def spgemm(a, b, alpha=1.0, alg: int = 0, chunk_fraction: float = 0.2,
-           verbose: bool = False):
+           verbose: bool = False, precision: str = "highest"):
     """C = alpha * A @ B, both CSR.  API mirrors the modified
     `cupyx.cusparse.spgemm` (cusparse.py:2007): alg ∈ {0 (default), 1, 2, 3},
     `chunk_fraction` applies to alg=3.
@@ -435,7 +495,7 @@ def spgemm(a, b, alpha=1.0, alg: int = 0, chunk_fraction: float = 0.2,
         if alg == 1 or dense_bytes <= _DENSE_BUDGET_BYTES:
             if verbose:
                 print(f"[spgemm] alg1 dense-intermediate ({dense_bytes} B)")
-            return _spgemm_alg1(a, b, alpha)
+            return _spgemm_alg1(a, b, alpha, precision)
         if verbose:
             print("[spgemm] auto: dense footprint too large → ESC (alg2)")
         return _spgemm_alg2(a, b, alpha)
@@ -446,9 +506,11 @@ def spgemm(a, b, alpha=1.0, alg: int = 0, chunk_fraction: float = 0.2,
     raise ValueError(f"unknown alg {alg!r} (expected 0, 1, 2 or 3)")
 
 
-@functools.partial(jax.jit, static_argnames=("m", "k", "n", "cap"))
+@functools.partial(jax.jit,
+                   static_argnames=("m", "k", "n", "cap", "precision"))
 def _alg1_fixed(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
-                alpha, m: int, k: int, n: int, cap: int):
+                alpha, m: int, k: int, n: int, cap: int,
+                precision: str = "highest"):
     """Single-dispatch ALG1 pipeline with a static output capacity.
 
     The jit-traceable SpGEMM: compute + extract fused into one XLA program,
@@ -458,7 +520,7 @@ def _alg1_fixed(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
     """
     c, mask, nnz = _alg1_dense_compute(
         a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
-        alpha, m, k, n)
+        alpha, m, k, n, precision)
     g = m * n - cap
     if g == 0:
         indptr, col, data = _extract_full(c, mask, m, n)
@@ -471,7 +533,8 @@ def _alg1_fixed(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
     return indptr, jnp.where(valid, col, 0), jnp.where(valid, data, 0), nnz
 
 
-def spgemm_fixed(a, b, alpha=1.0, cap: Optional[int] = None):
+def spgemm_fixed(a, b, alpha=1.0, cap: Optional[int] = None,
+                 precision: str = "highest"):
     """Eager wrapper over the single-dispatch pipeline; returns
     (CSR padded to cap, true nnz).  cap defaults to a warmup-sized exact
     capacity."""
@@ -486,7 +549,7 @@ def spgemm_fixed(a, b, alpha=1.0, cap: Optional[int] = None):
         cap = int(nnz_dev)
     indptr, col, data, nnz = _alg1_fixed(
         a.indptr, a.indices, a.data, b.indptr, b.indices, b.data,
-        jnp.asarray(alpha, a.dtype), m, k, n, cap)
+        jnp.asarray(alpha, a.dtype), m, k, n, cap, precision)
     return CSR.from_parts(indptr, col, data, (m, n), canonical=True), nnz
 
 
