@@ -158,6 +158,27 @@ def cleanup_device():
         pass
 
 
+class trace:
+    """Context manager around `jax.profiler` tracing (the `cupy.cuda.profiler`
+    start/stop marker analogue, SpGEMM_alg_comparison/profiler.py:21):
+
+        with profiler.trace("/tmp/tb"):
+            run_op()
+
+    View with TensorBoard's profile plugin."""
+
+    def __init__(self, logdir: str = "/tmp/spmm_tpu_trace"):
+        self.logdir = logdir
+
+    def __enter__(self):
+        jax.profiler.start_trace(self.logdir)
+        return self
+
+    def __exit__(self, *exc):
+        jax.profiler.stop_trace()
+        return False
+
+
 def speed_of_light_spmv_s(nnz: int, hbm_gbps: float = 819.0) -> float:
     """Bandwidth-bound lower bound for CSR SpMV: stream data+indices once.
 
