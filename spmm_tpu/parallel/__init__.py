@@ -17,3 +17,7 @@ from spmm_tpu.parallel.sharded import (  # noqa: F401
     unshard_rows,
 )
 from spmm_tpu.parallel import collectives  # noqa: F401
+from spmm_tpu.parallel.summa import (  # noqa: F401
+    make_mesh_2d,
+    spgemm_summa,
+)

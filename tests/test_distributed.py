@@ -118,3 +118,19 @@ def test_psum_dense(mesh):
     x_sh = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("rows")))
     got = pp.collectives.psum_dense(x_sh, mesh, "rows")
     np.testing.assert_allclose(np.asarray(got), x.sum(axis=0), rtol=1e-6)
+
+
+def test_spgemm_summa_2d():
+    from spmm_tpu.parallel.summa import make_mesh_2d, spgemm_summa
+
+    if NDEV < 4:
+        pytest.skip("needs 4 devices")
+    mesh2 = make_mesh_2d(2, 2)
+    A = st.random(48, 40, density=0.2, format="csr", random_state=0)
+    B = st.random(40, 36, density=0.2, format="csr", random_state=1)
+    Ash = pp.shard_csr(A, mesh2, axis="x")
+    Bsh = pp.shard_csr(B, mesh2, axis="x")
+    C = spgemm_summa(Ash, Bsh, mesh2)
+    ref = (A.to_scipy() @ B.to_scipy()).toarray()
+    np.testing.assert_allclose(np.asarray(C), ref, rtol=1e-5, atol=1e-6)
+    assert C.sharding.spec == jax.sharding.PartitionSpec("x", "y")
