@@ -40,9 +40,12 @@ def _kernel(indptr_ref, indices_ref, a_blocks_ref, b_ref, out_ref):
 
     @pl.when(s < count)
     def _():
+        # HIGHEST: f32-grade accumulation — DEFAULT would run one lossy
+        # bf16 pass on the MXU (~1e-3 rel error, fails SciPy parity).
         out_ref[...] += jnp.dot(
             a_blocks_ref[0], b_ref[...],
             preferred_element_type=out_ref.dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
 
