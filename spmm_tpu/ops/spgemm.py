@@ -253,8 +253,11 @@ def _expand(a_rows, a_indices, a_data, b_indptr, b_indices, b_data,
     b_pos = b_start + (p - seg_start)
     col = b_indices[b_pos]                    # P-sized gather (unavoidable)
     b_val = b_data[b_pos]                     # P-sized gather (unavoidable)
-    a_bits = jax.lax.bitcast_convert_type(a_data, jnp.int32)
-    a_val = jax.lax.bitcast_convert_type(bcast(a_bits), jnp.float32)
+    # exact f-bit broadcast via the value's bit pattern (width-matched int)
+    int_t = {2: jnp.int16, 4: jnp.int32}[jnp.dtype(a_data.dtype).itemsize]
+    a_bits = jax.lax.bitcast_convert_type(a_data, int_t).astype(INDEX_DTYPE)
+    a_val = jax.lax.bitcast_convert_type(
+        bcast(a_bits).astype(int_t), a_data.dtype)
     val = a_val * b_val
     return row, col, val
 
@@ -371,8 +374,10 @@ def _chunk_esc(a_indptr_full, a_indices, a_data, a_rows,
     b_pos = jnp.minimum(b_start + within, b_indices.shape[0] - 1)
     b_pos = jnp.maximum(b_pos, 0)
     row = jnp.where(valid_p, bcast(ar), m)
-    a_bits = jax.lax.bitcast_convert_type(ad, jnp.int32)
-    a_val = jax.lax.bitcast_convert_type(bcast(a_bits), jnp.float32)
+    int_t = {2: jnp.int16, 4: jnp.int32}[jnp.dtype(ad.dtype).itemsize]
+    a_bits = jax.lax.bitcast_convert_type(ad, int_t).astype(INDEX_DTYPE)
+    a_val = jax.lax.bitcast_convert_type(
+        bcast(a_bits).astype(int_t), ad.dtype)
     col = jnp.where(valid_p, b_indices[b_pos], n - 1)
     val = jnp.where(valid_p, a_val * b_data[b_pos], 0)
     # lex sort; invalid lanes (row=m) land at the end

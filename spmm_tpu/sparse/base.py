@@ -107,11 +107,13 @@ class SparseMatrix:
         import scipy.sparse as sp
 
         coo = self.tocoo()
+        data = np.asarray(coo.data)
+        if data.dtype not in (np.float32, np.float64, np.complex64,
+                              np.complex128) and not np.issubdtype(
+                                  data.dtype, np.integer):
+            data = data.astype(np.float32)  # e.g. bfloat16 → f32 bridge
         return sp.coo_matrix(
-            (
-                np.asarray(coo.data),
-                (np.asarray(coo.row), np.asarray(coo.col)),
-            ),
+            (data, (np.asarray(coo.row), np.asarray(coo.col))),
             shape=self.shape,
         ).asformat(self.format if self.format in ("csr", "csc", "coo") else "csr")
 
