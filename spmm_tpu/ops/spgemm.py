@@ -267,16 +267,7 @@ def _compress_count(row_s, col_s):
     return prim.count_unique_sorted(row_s, col_s)
 
 
-def _compact_positions(flags, count: int):
-    """Positions of the first `count` set flags, in order — via stable-sort
-    compaction.  `jnp.nonzero(size=)` lowers to a full-length scatter
-    (~18 ns/element serialised on TPU); a (int8 key, iota) sort is ~30x
-    faster at the 10M scale (see CLAUDE.md perf notes)."""
-    n = flags.shape[0]
-    keys = jnp.where(flags, jnp.int8(0), jnp.int8(1))
-    idxs = jnp.arange(n, dtype=INDEX_DTYPE)
-    _, pos = jax.lax.sort((keys, idxs), num_keys=1, is_stable=True)
-    return pos[:count]
+_compact_positions = prim.compact_positions
 
 
 @functools.partial(jax.jit, static_argnames=("nnz_c", "m"))

@@ -121,7 +121,7 @@ class COO(SparseMatrix):
     def eliminate_zeros(self) -> "COO":
         mask = self.data != 0
         nout = int(jnp.sum(mask))
-        keep = jnp.nonzero(mask, size=nout, fill_value=0)[0]
+        keep = prim.compact_positions(mask, nout)
         return COO.from_parts(self.row[keep], self.col[keep],
                               self.data[keep], self._shape,
                               canonical=self._canonical)
