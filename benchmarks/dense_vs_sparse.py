@@ -30,13 +30,32 @@ def _dense_mm(a, b):
                    precision=jax.lax.Precision.HIGHEST)
 
 
-def run_case(size, density, runs, dtype, seed, alg):
+def run_case(size, density, runs, dtype, seed, alg, op="spgemm",
+             ncols=None):
     m = k = n = size
     A = st.random(m, k, density, format="csr", dtype=dtype, random_state=seed)
+    out = {}
+    if op == "spmm":
+        # CSR@dense vs dense GEMM (BASELINE.json configs[1])
+        nd = ncols or size
+        Bd = jnp.ones((k, nd), dtype)
+        Ad = A.toarray()
+        r = profiler.repeat_op(f"dense-gemm n={size} d={density}",
+                               lambda: _dense_mm(Ad, Bd), runs=runs,
+                               warmup=3)
+        if r:
+            out["dense"] = r
+            print(r.row())
+        r = profiler.repeat_op(
+            f"spmm(csr) n={size} d={density}",
+            lambda: st.spmm(A, Bd, via="csr"), runs=runs, warmup=3)
+        if r:
+            out["sparse"] = r
+            print(r.row())
+        return out
     B = st.random(k, n, density, format="csr", dtype=dtype,
                   random_state=seed + 1)
     Ad, Bd = A.toarray(), B.toarray()
-    out = {}
     r = profiler.repeat_op(f"dense n={size} d={density}",
                            lambda: _dense_mm(Ad, Bd), runs=runs, warmup=3)
     if r:
@@ -63,6 +82,10 @@ def main(argv=None):
     p.add_argument("--alg", type=int, default=2,
                    help="sparse alg for the comparison (2=ESC is the true "
                         "sparse path; 1 would itself use the MXU)")
+    p.add_argument("--op", choices=["spgemm", "spmm"], default="spgemm",
+                   help="spgemm: CSR@CSR vs dense; spmm: CSR@dense vs dense")
+    p.add_argument("--ncols", type=int, default=None,
+                   help="dense B columns for --op spmm (default: size)")
     p.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
     dtype = jnp.dtype(args.dtype)
@@ -72,7 +95,7 @@ def main(argv=None):
         for density in args.density:
             print(f"=== dense-vs-sparse: n={size} density={density} ===")
             res = run_case(size, density, args.runs, dtype, args.seed,
-                           args.alg)
+                           args.alg, op=args.op, ncols=args.ncols)
             if args.json and res:
                 print(json.dumps({
                     "bench": "dense_vs_sparse", "size": size,
