@@ -434,12 +434,16 @@ def _spgemm_alg3(a, b, alpha, chunk_fraction: float, verbose: bool = False):
     alpha_arr = jnp.asarray(alpha, a.dtype)
     rows_out, cols_out, vals_out = [], [], []
     for (r0, r1, e0, e1, pw) in chunk_meta:
+        # strictly one chunk's W-sized workspace live at a time — the
+        # per-chunk host sync is the price of the bounded-memory contract
+        # (one spMatGetSize per chunk, exactly like the staged cuSPARSE
+        # ALG3 pipeline).
         row_s, col_s, val_s, new_group, valid_s, nnz_dev = _chunk_esc(
             a.indptr, a.indices, a.data, a_rows,
             b.indptr, b.indices, b.data,
             jnp.asarray(r0, INDEX_DTYPE), jnp.asarray(e0, INDEX_DTYPE),
             jnp.asarray(e1, INDEX_DTYPE), E, W, m, n)
-        nnz_c = int(nnz_dev)  # per-chunk host sync (bounded-memory price)
+        nnz_c = int(nnz_dev)
         if nnz_c == 0:
             continue
         r, c, v = _chunk_extract(row_s, col_s, val_s, new_group, valid_s,
