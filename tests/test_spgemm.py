@@ -162,3 +162,17 @@ def test_matmul_scalar_rejected():
     A = st.random(8, 8, density=0.5, format="csr", random_state=0)
     with pytest.raises(ValueError):
         A @ 2.0
+
+
+def test_alg3_bitwise_invariant_across_chunk_fractions():
+    """Stronger than the reference: cuSPARSE ALG3's numerical error varies
+    with chunk_fraction (the reference's numerical_error/fraction.py exists
+    to study it); here the doubling-tree reduction is position-relative
+    within each duplicate run, so every chunk_fraction — and alg2 itself —
+    produces bitwise-identical values."""
+    A, B, _, _ = make_pair(80, 60, 70, 0.15, 0.15)
+    ref_bits = np.asarray(st.spgemm(A, B, alg=2).data).view(np.uint32)
+    for cf in (0.05, 0.2, 0.5, 1.0):
+        C = st.spgemm(A, B, alg=3, chunk_fraction=cf)
+        np.testing.assert_array_equal(
+            np.asarray(C.data).view(np.uint32), ref_bits)
