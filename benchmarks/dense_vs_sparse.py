@@ -11,7 +11,6 @@ Usage: python benchmarks/dense_vs_sparse.py --size 1024 4096 \
 """
 
 import argparse
-import itertools
 import json
 import sys
 

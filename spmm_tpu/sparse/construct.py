@@ -18,7 +18,6 @@ import numpy as np
 
 from spmm_tpu.ops import _primitives as prim
 from spmm_tpu.sparse.coo import COO
-from spmm_tpu.sparse.csr import CSR
 
 INDEX_DTYPE = prim.INDEX_DTYPE
 

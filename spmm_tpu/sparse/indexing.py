@@ -8,8 +8,6 @@ same host-sizing + static-kernel pattern as the rest of the framework.
 
 from __future__ import annotations
 
-from typing import Tuple, Union
-
 import jax.numpy as jnp
 import numpy as np
 
