@@ -36,6 +36,7 @@ from spmm_tpu.sparse import (  # noqa: F401
 )
 from spmm_tpu.ops import (  # noqa: F401
     spgemm,
+    spgemm_fixed,
     spgemm_nnz_estimate,
     spmm,
     spmv,
@@ -63,6 +64,7 @@ __all__ = [
     "hstack",
     "vstack",
     "spgemm",
+    "spgemm_fixed",
     "spgemm_nnz_estimate",
     "spmm",
     "spmv",
