@@ -44,9 +44,14 @@ def main():
     A = st.random(m, k, DENSITY, format="csr", random_state=2008)
     B = st.random(k, n, DENSITY, format="csr", random_state=2009)
 
-    # sizing pass (the spMatGetSize readback, once)
-    C = st.spgemm(A, B, alg=1)
-    cap = C.nnz
+    # sizing pass (the spMatGetSize readback, once) — compute-only, so the
+    # dev relay compiles one program here instead of two
+    from spmm_tpu.ops.spgemm import _alg1_dense_compute
+
+    _, _, nnz_dev = _alg1_dense_compute(
+        A.indptr, A.indices, A.data, B.indptr, B.indices, B.data,
+        jnp.float32(1.0), m, k, n)
+    cap = int(nnz_dev)
     alpha = jnp.float32(1.0)
     nnz_a = A.nnz
 
