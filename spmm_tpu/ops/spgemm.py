@@ -506,11 +506,12 @@ def spgemm(a, b, alpha=1.0, alg: int = 0, chunk_fraction: float = 0.2,
     raise ValueError(f"unknown alg {alg!r} (expected 0, 1, 2 or 3)")
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("m", "k", "n", "cap", "precision"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "k", "n", "cap", "precision", "exact_cap"))
 def _alg1_fixed(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
                 alpha, m: int, k: int, n: int, cap: int,
-                precision: str = "highest"):
+                precision: str = "highest", exact_cap: bool = True):
     """Single-dispatch ALG1 pipeline with a static output capacity.
 
     The jit-traceable SpGEMM: compute + extract fused into one XLA program,
@@ -521,20 +522,29 @@ def _alg1_fixed(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
     c, mask, nnz = _alg1_dense_compute(
         a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
         alpha, m, k, n, precision)
-    g = m * n - cap
-    if g == 0:
+    # The full/shift fast paths infer the hole count from cap and are only
+    # valid when cap equals the exact output nnz (exact_cap); a merely
+    # sufficient capacity uses the general sort-compaction.
+    cap_eff = min(cap, m * n)
+    g = m * n - cap_eff
+    if exact_cap and g == 0:
         indptr, col, data = _extract_full(c, mask, m, n)
-    elif g <= _SHIFT_EXTRACT_MAX_HOLES:
-        indptr, col, data = _extract_shift(c, mask, cap,
+    elif exact_cap and g <= _SHIFT_EXTRACT_MAX_HOLES:
+        indptr, col, data = _extract_shift(c, mask, cap_eff,
                                            _bucket_holes(g), m, n)
     else:
-        indptr, col, data = _extract_sort(c, mask, cap, m, n)
+        indptr, col, data = _extract_sort(c, mask, cap_eff, m, n)
+    if cap > cap_eff:
+        pad = cap - cap_eff
+        col = jnp.concatenate([col, jnp.zeros((pad,), INDEX_DTYPE)])
+        data = jnp.concatenate([data, jnp.zeros((pad,), data.dtype)])
     valid = jnp.arange(cap, dtype=INDEX_DTYPE) < nnz
     return indptr, jnp.where(valid, col, 0), jnp.where(valid, data, 0), nnz
 
 
 def spgemm_fixed(a, b, alpha=1.0, cap: Optional[int] = None,
                  precision: str = "highest"):
+    exact_cap = cap is None
     """Eager wrapper over the single-dispatch pipeline; returns
     (CSR padded to cap, true nnz).  cap defaults to a warmup-sized exact
     capacity."""
@@ -549,7 +559,7 @@ def spgemm_fixed(a, b, alpha=1.0, cap: Optional[int] = None,
         cap = int(nnz_dev)
     indptr, col, data, nnz = _alg1_fixed(
         a.indptr, a.indices, a.data, b.indptr, b.indices, b.data,
-        jnp.asarray(alpha, a.dtype), m, k, n, cap, precision)
+        jnp.asarray(alpha, a.dtype), m, k, n, cap, precision, exact_cap)
     return CSR.from_parts(indptr, col, data, (m, n), canonical=True), nnz
 
 

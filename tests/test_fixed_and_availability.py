@@ -54,3 +54,18 @@ def test_availability_table():
     assert not has_fast_path("csrsort", backend="tpu")
     with pytest.raises(KeyError):
         check_availability("nonsense")
+
+
+def test_spgemm_fixed_cap_exceeding_dense_size():
+    """cap larger than m*n (regression: negative hole count crashed the
+    shift-extraction path)."""
+    A, B, As, Bs = make_pair(30, 40, 30, 0.2, 0.2)
+    cap = 30 * 30 + 500
+    C, nnz = spgemm_fixed(A, B, cap=cap, precision="high")
+    ref = (As @ Bs).tocsr()
+    ref.sort_indices()
+    assert C.data.shape[0] == cap
+    assert int(nnz) == ref.nnz
+    np.testing.assert_allclose(np.asarray(C.data)[:ref.nnz], ref.data,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(C.data)[ref.nnz:], 0)
