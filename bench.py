@@ -30,7 +30,7 @@ from jax import lax
 sys.path.insert(0, ".")
 
 import spmm_tpu as st  # noqa: E402
-from spmm_tpu.ops.spgemm import _alg1_fixed  # noqa: E402
+from spmm_tpu.ops.spgemm import _alg1_fixed, densify_split_plan  # noqa: E402
 
 BASELINE_MS = 2.1494  # reference ALG1, n=1024, rho=0.1 (BASELINE.md)
 SIZE = 1024
@@ -52,6 +52,7 @@ def main():
         A.indptr, A.indices, A.data, B.indptr, B.indices, B.data,
         jnp.float32(1.0), m, k, n)
     cap = int(nnz_dev)
+    splits = (densify_split_plan(A), densify_split_plan(B))
     alpha = jnp.float32(1.0)
     nnz_a = A.nnz
 
@@ -60,7 +61,7 @@ def main():
         def body(d, _):
             indptr, col, dat, nnz = _alg1_fixed(
                 A.indptr, A.indices, d, B.indptr, B.indices, B.data,
-                alpha, m, k, n, cap)
+                alpha, m, k, n, cap, "highest", True, splits)
             # zero-scaled feedback: forces each iteration to depend on the
             # last without changing values
             d_next = d + 0.0 * lax.dynamic_slice(dat, (0,), (nnz_a,))

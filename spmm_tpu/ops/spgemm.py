@@ -66,23 +66,64 @@ _TINY = float(np.finfo(np.float32).tiny)
 _SHIFT_EXTRACT_MAX_HOLES = 128
 
 
-def _densify_marked(indptr, indices, data, m: int, k: int):
-    """One flat scatter producing a dense array where explicit-zero inputs
-    carry the _TINY marker (so the structural pattern survives)."""
+def _densify_marked(indptr, indices, data, m: int, k: int, split=None):
+    """Flat scatter(s) producing a dense array where explicit-zero inputs
+    carry the _TINY marker (so the structural pattern survives).
+
+    `split` (optional, static): (flat_bounds, entry_splits) — four
+    disjoint-range scatters into separate buffers that XLA overlaps,
+    measured ~1.2x faster than one scatter (the scatter loop has a large
+    fixed component).  The bounds are data-dependent, so callers that use
+    them (the sized serving path) read them back once per matrix, at the
+    same per-structure compile granularity as `cap`.
+    """
     nnz = data.shape[0]
     rows = prim.rows_from_indptr(indptr, nnz)
     flat = rows * jnp.asarray(k, INDEX_DTYPE) + indices
     vals = jnp.where(data == 0, jnp.asarray(_TINY, data.dtype), data)
-    out = jnp.zeros((m * k,), data.dtype)
-    return out.at[flat].set(vals, indices_are_sorted=True,
-                            unique_indices=True).reshape(m, k)
+    if split is None:
+        out = jnp.zeros((m * k,), data.dtype)
+        return out.at[flat].set(vals, indices_are_sorted=True,
+                                unique_indices=True).reshape(m, k)
+    flat_bounds, entry_splits = split
+    parts = []
+    for i in range(len(flat_bounds) - 1):
+        lo, hi = flat_bounds[i], flat_bounds[i + 1]
+        e0, e1 = entry_splits[i], entry_splits[i + 1]
+        part = jnp.zeros((hi - lo,), data.dtype).at[flat[e0:e1] - lo].set(
+            vals[e0:e1], indices_are_sorted=True, unique_indices=True)
+        parts.append(part)
+    return jnp.concatenate(parts).reshape(m, k)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "k", "n", "precision"))
+def densify_split_plan(a, nways: int = 4):
+    """Static split plan for `_densify_marked`: entry quartiles and the flat
+    positions bounding them (one 3-int readback per matrix)."""
+    nnz = a.nnz
+    m, k = a.shape
+    if nnz < nways * 2:
+        return None
+    entry_splits = tuple(nnz * i // nways for i in range(nways + 1))
+    flat = a.rows * jnp.asarray(k, INDEX_DTYPE) + a.indices
+    import numpy as np_
+
+    probe = np_.asarray(jax.device_get(
+        flat[jnp.asarray(entry_splits[1:-1], INDEX_DTYPE)]))
+    flat_bounds = (0,) + tuple(int(x) for x in probe) + (m * k,)
+    # degenerate guard: bounds must be strictly increasing
+    for i in range(len(flat_bounds) - 1):
+        if flat_bounds[i + 1] <= flat_bounds[i]:
+            return None
+    return (flat_bounds, entry_splits)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "k", "n", "precision", "splits"))
 def _alg1_dense_compute(a_indptr, a_indices, a_data,
                         b_indptr, b_indices, b_data,
                         alpha, m: int, k: int, n: int,
-                        precision: str = "highest"):
+                        precision: str = "highest", splits=(None, None)):
     """Dense value + structural-pattern matmuls; returns (C, mask, nnz).
 
     One scatter per operand: the value array is the marked dense with TINY
@@ -96,8 +137,8 @@ def _alg1_dense_compute(a_indptr, a_indices, a_data,
     with --xla_allow_excess_precision=true, which folds cast-based splits
     into one lossy pass (measured 6e-3 rel error).
     """
-    ad_m = _densify_marked(a_indptr, a_indices, a_data, m, k)
-    bd_m = _densify_marked(b_indptr, b_indices, b_data, k, n)
+    ad_m = _densify_marked(a_indptr, a_indices, a_data, m, k, splits[0])
+    bd_m = _densify_marked(b_indptr, b_indices, b_data, k, n, splits[1])
     tiny = jnp.asarray(_TINY, ad_m.dtype)
     ad = jnp.where(ad_m == tiny, 0, ad_m)
     bd = jnp.where(bd_m == tiny, 0, bd_m)
@@ -508,10 +549,12 @@ def spgemm(a, b, alpha=1.0, alg: int = 0, chunk_fraction: float = 0.2,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("m", "k", "n", "cap", "precision", "exact_cap"))
+    static_argnames=("m", "k", "n", "cap", "precision", "exact_cap",
+                     "splits"))
 def _alg1_fixed(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
                 alpha, m: int, k: int, n: int, cap: int,
-                precision: str = "highest", exact_cap: bool = True):
+                precision: str = "highest", exact_cap: bool = True,
+                splits=(None, None)):
     """Single-dispatch ALG1 pipeline with a static output capacity.
 
     The jit-traceable SpGEMM: compute + extract fused into one XLA program,
@@ -543,8 +586,10 @@ def _alg1_fixed(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
 
 
 def spgemm_fixed(a, b, alpha=1.0, cap: Optional[int] = None,
-                 precision: str = "highest"):
+                 precision: str = "highest", split_scatter: bool = True):
     exact_cap = cap is None
+    splits = ((densify_split_plan(a), densify_split_plan(b))
+              if split_scatter else (None, None))
     """Eager wrapper over the single-dispatch pipeline; returns
     (CSR padded to cap, true nnz).  cap defaults to a warmup-sized exact
     capacity."""
@@ -559,7 +604,8 @@ def spgemm_fixed(a, b, alpha=1.0, cap: Optional[int] = None,
         cap = int(nnz_dev)
     indptr, col, data, nnz = _alg1_fixed(
         a.indptr, a.indices, a.data, b.indptr, b.indices, b.data,
-        jnp.asarray(alpha, a.dtype), m, k, n, cap, precision, exact_cap)
+        jnp.asarray(alpha, a.dtype), m, k, n, cap, precision, exact_cap,
+        splits)
     return CSR.from_parts(indptr, col, data, (m, n), canonical=True), nnz
 
 
