@@ -66,9 +66,8 @@ _TINY = float(np.finfo(np.float32).tiny)
 _SHIFT_EXTRACT_MAX_HOLES = 128
 
 
-def _densify_marked(indptr, indices, data, m: int, k: int, split=None):
-    """Flat scatter(s) producing a dense array where explicit-zero inputs
-    carry the _TINY marker (so the structural pattern survives).
+def _densify_flat(indptr, indices, vals, m: int, k: int, split=None):
+    """Flat scatter(s) of per-entry `vals` into a dense (m, k) array.
 
     `split` (optional, static): (flat_bounds, entry_splits) — four
     disjoint-range scatters into separate buffers that XLA overlaps,
@@ -77,12 +76,11 @@ def _densify_marked(indptr, indices, data, m: int, k: int, split=None):
     them (the sized serving path) read them back once per matrix, at the
     same per-structure compile granularity as `cap`.
     """
-    nnz = data.shape[0]
+    nnz = vals.shape[0]
     rows = prim.rows_from_indptr(indptr, nnz)
     flat = rows * jnp.asarray(k, INDEX_DTYPE) + indices
-    vals = jnp.where(data == 0, jnp.asarray(_TINY, data.dtype), data)
     if split is None:
-        out = jnp.zeros((m * k,), data.dtype)
+        out = jnp.zeros((m * k,), vals.dtype)
         return out.at[flat].set(vals, indices_are_sorted=True,
                                 unique_indices=True).reshape(m, k)
     flat_bounds, entry_splits = split
@@ -90,10 +88,20 @@ def _densify_marked(indptr, indices, data, m: int, k: int, split=None):
     for i in range(len(flat_bounds) - 1):
         lo, hi = flat_bounds[i], flat_bounds[i + 1]
         e0, e1 = entry_splits[i], entry_splits[i + 1]
-        part = jnp.zeros((hi - lo,), data.dtype).at[flat[e0:e1] - lo].set(
+        part = jnp.zeros((hi - lo,), vals.dtype).at[flat[e0:e1] - lo].set(
             vals[e0:e1], indices_are_sorted=True, unique_indices=True)
         parts.append(part)
     return jnp.concatenate(parts).reshape(m, k)
+
+
+def _densify_marked(indptr, indices, data, m: int, k: int, split=None):
+    """Marked densify: explicit-zero inputs carry the _TINY marker so one
+    scatter yields both the value matrix (TINY→0) and the structural
+    pattern (≠0).  Callers must guard against legitimate +TINY values
+    (see `_tiny_collision`) and use the safe two-scatter path when found.
+    """
+    vals = jnp.where(data == 0, jnp.asarray(_TINY, data.dtype), data)
+    return _densify_flat(indptr, indices, vals, m, k, split)
 
 
 def densify_split_plan(a, nways: int = 4):
@@ -119,16 +127,20 @@ def densify_split_plan(a, nways: int = 4):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("m", "k", "n", "precision", "splits"))
+    static_argnames=("m", "k", "n", "precision", "splits", "safe"))
 def _alg1_dense_compute(a_indptr, a_indices, a_data,
                         b_indptr, b_indices, b_data,
                         alpha, m: int, k: int, n: int,
-                        precision: str = "highest", splits=(None, None)):
+                        precision: str = "highest", splits=(None, None),
+                        safe: bool = False):
     """Dense value + structural-pattern matmuls; returns (C, mask, nnz).
 
     One scatter per operand: the value array is the marked dense with TINY
     mapped back to 0; the bf16 pattern is a compare of the same array
     (bf16 0/1 inputs accumulate exactly in the MXU's f32 for k < 2**24).
+    With `safe=True` the marker trick is replaced by a second 0/1 pattern
+    scatter per operand — required when an input legitimately stores the
+    value +TINY (see `_tiny_collision`); costs two extra scatters.
 
     `precision`: "highest" (bf16x6, fp32-grade, default) | "high" (bf16x3,
     rel err ~5e-7 — inside the reference's own ALG1-vs-ALG3 spread) |
@@ -137,21 +149,41 @@ def _alg1_dense_compute(a_indptr, a_indices, a_data,
     with --xla_allow_excess_precision=true, which folds cast-based splits
     into one lossy pass (measured 6e-3 rel error).
     """
-    ad_m = _densify_marked(a_indptr, a_indices, a_data, m, k, splits[0])
-    bd_m = _densify_marked(b_indptr, b_indices, b_data, k, n, splits[1])
-    tiny = jnp.asarray(_TINY, ad_m.dtype)
-    ad = jnp.where(ad_m == tiny, 0, ad_m)
-    bd = jnp.where(bd_m == tiny, 0, bd_m)
+    if safe:
+        ad = _densify_flat(a_indptr, a_indices, a_data, m, k, splits[0])
+        bd = _densify_flat(b_indptr, b_indices, b_data, k, n, splits[1])
+        a_pat = _densify_flat(
+            a_indptr, a_indices, jnp.ones_like(a_data), m, k,
+            splits[0]).astype(jnp.bfloat16)
+        b_pat = _densify_flat(
+            b_indptr, b_indices, jnp.ones_like(b_data), k, n,
+            splits[1]).astype(jnp.bfloat16)
+    else:
+        ad_m = _densify_marked(a_indptr, a_indices, a_data, m, k, splits[0])
+        bd_m = _densify_marked(b_indptr, b_indices, b_data, k, n, splits[1])
+        tiny = jnp.asarray(_TINY, ad_m.dtype)
+        ad = jnp.where(ad_m == tiny, 0, ad_m)
+        bd = jnp.where(bd_m == tiny, 0, bd_m)
+        a_pat = (ad_m != 0).astype(jnp.bfloat16)
+        b_pat = (bd_m != 0).astype(jnp.bfloat16)
     prec = {"highest": jax.lax.Precision.HIGHEST,
             "high": jax.lax.Precision.HIGH,
             "default": jax.lax.Precision.DEFAULT}[precision]
     c = jnp.dot(ad, bd, preferred_element_type=ad.dtype, precision=prec)
-    a_pat = (ad_m != 0).astype(jnp.bfloat16)
-    b_pat = (bd_m != 0).astype(jnp.bfloat16)
     counts = jnp.dot(a_pat, b_pat, preferred_element_type=jnp.float32)
     mask = counts > 0
     nnz = jnp.sum(mask, dtype=INDEX_DTYPE)
     return alpha * c, mask, nnz
+
+
+@jax.jit
+def _tiny_collision(a_data, b_data):
+    """True if either operand stores a value equal to the +TINY marker
+    (float32 smallest normal) — in that case the marked-densify trick
+    would zero it in the value matmul, so the safe path must be used."""
+    tiny_a = jnp.asarray(_TINY, a_data.dtype)
+    tiny_b = jnp.asarray(_TINY, b_data.dtype)
+    return jnp.any(a_data == tiny_a) | jnp.any(b_data == tiny_b)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "n"))
@@ -236,9 +268,10 @@ def _spgemm_alg1(a, b, alpha, precision: str = "highest"):
 
     m, k = a.shape
     n = b.shape[1]
+    safe = bool(_tiny_collision(a.data, b.data))  # rare: +TINY stored value
     c, mask, nnz_dev = _alg1_dense_compute(
         a.indptr, a.indices, a.data, b.indptr, b.indices, b.data,
-        jnp.asarray(alpha, a.dtype), m, k, n, precision)
+        jnp.asarray(alpha, a.dtype), m, k, n, precision, safe=safe)
     nnz = int(nnz_dev)  # host sync — the analogue of spMatGetSize
     indptr, col, data = _dense_extract(c, mask, nnz, m)
     return CSR.from_parts(indptr, col, data, (m, n), canonical=True)
@@ -550,11 +583,11 @@ def spgemm(a, b, alpha=1.0, alg: int = 0, chunk_fraction: float = 0.2,
 @functools.partial(
     jax.jit,
     static_argnames=("m", "k", "n", "cap", "precision", "exact_cap",
-                     "splits"))
+                     "splits", "safe"))
 def _alg1_fixed(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
                 alpha, m: int, k: int, n: int, cap: int,
                 precision: str = "highest", exact_cap: bool = True,
-                splits=(None, None)):
+                splits=(None, None), safe: bool = False):
     """Single-dispatch ALG1 pipeline with a static output capacity.
 
     The jit-traceable SpGEMM: compute + extract fused into one XLA program,
@@ -564,7 +597,7 @@ def _alg1_fixed(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
     """
     c, mask, nnz = _alg1_dense_compute(
         a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
-        alpha, m, k, n, precision)
+        alpha, m, k, n, precision, splits, safe)
     # The full/shift fast paths infer the hole count from cap and are only
     # valid when cap equals the exact output nnz (exact_cap); a merely
     # sufficient capacity uses the general sort-compaction.
@@ -581,31 +614,46 @@ def _alg1_fixed(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
         pad = cap - cap_eff
         col = jnp.concatenate([col, jnp.zeros((pad,), INDEX_DTYPE)])
         data = jnp.concatenate([data, jnp.zeros((pad,), data.dtype)])
+    # keep the padded container self-consistent even if the caller's cap is
+    # smaller than the true nnz (indptr must never exceed len(data))
+    indptr = jnp.minimum(indptr, jnp.asarray(cap, INDEX_DTYPE))
     valid = jnp.arange(cap, dtype=INDEX_DTYPE) < nnz
     return indptr, jnp.where(valid, col, 0), jnp.where(valid, data, 0), nnz
 
 
 def spgemm_fixed(a, b, alpha=1.0, cap: Optional[int] = None,
                  precision: str = "highest", split_scatter: bool = True):
+    """Eager wrapper over the single-dispatch pipeline; returns
+    (CSR padded to cap, true nnz).  cap defaults to a warmup-sized exact
+    capacity.  Inputs are canonicalized (cheap no-op when already
+    canonical) — the densify scatters and split plans assume sorted,
+    duplicate-free entries, matching the reference spgemm's
+    has_canonical_format assertion (cusparse.py:2026-2037)."""
+    from spmm_tpu.sparse.csr import CSR
+
+    a = a.sum_duplicates()
+    b = b.sum_duplicates()
     exact_cap = cap is None
     splits = ((densify_split_plan(a), densify_split_plan(b))
               if split_scatter else (None, None))
-    """Eager wrapper over the single-dispatch pipeline; returns
-    (CSR padded to cap, true nnz).  cap defaults to a warmup-sized exact
-    capacity."""
-    from spmm_tpu.sparse.csr import CSR
-
     m, k = a.shape
     n = b.shape[1]
+    safe = bool(_tiny_collision(a.data, b.data))
     if cap is None:
         _, _, nnz_dev = _alg1_dense_compute(
             a.indptr, a.indices, a.data, b.indptr, b.indices, b.data,
-            jnp.asarray(alpha, a.dtype), m, k, n)
+            jnp.asarray(alpha, a.dtype), m, k, n, safe=safe)
         cap = int(nnz_dev)
     indptr, col, data, nnz = _alg1_fixed(
         a.indptr, a.indices, a.data, b.indptr, b.indices, b.data,
         jnp.asarray(alpha, a.dtype), m, k, n, cap, precision, exact_cap,
-        splits)
+        splits, safe)
+    nnz_true = int(nnz)
+    if nnz_true > cap:
+        raise ValueError(
+            f"spgemm_fixed: capacity {cap} is smaller than the true output "
+            f"nnz {nnz_true}; rerun with cap >= {nnz_true} (or cap=None for "
+            "exact sizing)")
     return CSR.from_parts(indptr, col, data, (m, n), canonical=True), nnz
 
 

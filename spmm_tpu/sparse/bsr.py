@@ -167,7 +167,7 @@ def csr_to_bsr(a, blocksize: Optional[Tuple[int, int]] = None) -> BSR:
     block_id = jnp.cumsum(new_block.astype(INDEX_DTYPE)) - 1
     data = jnp.zeros((nblocks, R, C), a.dtype)
     data = data.at[block_id, r_in, c_in].add(d_s)
-    first_pos = jnp.nonzero(new_block, size=nblocks, fill_value=0)[0]
+    first_pos = prim.compact_positions(new_block, nblocks)
     ub_row = brow_s[first_pos]
     ub_col = bcol_s[first_pos]
     indptr = prim.build_indptr(ub_row, mb)

@@ -9,8 +9,8 @@ cusparse.csrsort — here a stable lexsort), and `toarray` (`_csr.py:383-425`).
 
 TPU-first notes: the container is an immutable pytree with static shape
 metadata, so it traces straight through `jit` / `shard_map`; row ids are
-recovered from indptr with a vectorised searchsorted rather than a CUDA
-kernel.
+recovered from indptr with a scatter-marks+cumsum expansion
+(`_primitives.rows_from_indptr`) rather than a CUDA kernel.
 """
 
 from __future__ import annotations

@@ -65,7 +65,7 @@ def _getcols_slice(a, j0: int, j1: int):
 
     keep = (a.indices >= j0) & (a.indices < j1)
     nnz_out = int(jnp.sum(keep))
-    pos = jnp.nonzero(keep, size=nnz_out, fill_value=0)[0]
+    pos = prim.compact_positions(keep, nnz_out)
     rows = a.rows[pos]
     indptr = prim.build_indptr(rows, a.shape[0])
     return CSR.from_parts(indptr, a.indices[pos] - j0, a.data[pos],

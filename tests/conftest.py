@@ -31,10 +31,11 @@ if _platform == "cpu":
 
 # Persistent compilation cache: the suite compiles hundreds of small
 # static-shape kernels; caching makes re-runs fast.
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+if os.environ.get("SPMM_TPU_TEST_NO_CACHE", "") != "1":
+    _CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 @pytest.fixture

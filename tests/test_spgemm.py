@@ -176,3 +176,78 @@ def test_alg3_bitwise_invariant_across_chunk_fractions():
         C = st.spgemm(A, B, alg=3, chunk_fraction=cf)
         np.testing.assert_array_equal(
             np.asarray(C.data).view(np.uint32), ref_bits)
+
+
+def test_spgemm_fixed_canonicalizes_inputs():
+    # Non-canonical (unsorted, duplicated) inputs must be canonicalized
+    # before the densify scatters (reference asserts has_canonical_format;
+    # round-1 advisor finding: silent corruption otherwise).
+    import scipy.sparse as sp
+
+    # row 0 has unsorted columns AND a duplicate (col 2 twice)
+    indptr = np.array([0, 3, 4], np.int32)
+    indices = np.array([2, 0, 2, 1], np.int32)
+    data = np.array([1.0, 2.0, 3.0, 4.0], np.float32)
+    A = st.CSR.from_parts(jnp.asarray(indptr), jnp.asarray(indices),
+                          jnp.asarray(data), (2, 3), canonical=False)
+    B, Bs = _rand_csr(3, 5, 0.6, 7)
+    # copies: scipy's sum_duplicates mutates its buffers in place, and
+    # jnp.asarray may zero-copy numpy arrays on CPU
+    As = sp.csr_matrix((data.copy(), indices.copy(), indptr.copy()),
+                       shape=(2, 3))
+    As.sum_duplicates()
+    As.sort_indices()
+    C, nnz = st.spgemm_fixed(A, B)
+    ref = (As @ Bs).tocsr()
+    np.testing.assert_allclose(np.asarray(C.toarray()), ref.toarray(),
+                               rtol=2e-5, atol=1e-6)
+
+
+def _rand_csr(m, n, density, seed):
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    S = sp.random(m, n, density=density, format="csr", dtype=np.float32,
+                  random_state=np.random.RandomState(seed))
+    A = st.CSR((jnp.asarray(S.data), jnp.asarray(S.indices, jnp.int32),
+                jnp.asarray(S.indptr, jnp.int32)), shape=(m, n))
+    return A, S
+
+
+def test_spgemm_tiny_marker_collision():
+    # A stored value equal to float32 tiny must survive the value matmul
+    # (round-1 advisor finding: the marked-densify path zeroed it).
+    tiny = float(np.finfo(np.float32).tiny)
+    A = st.CSR((np.array([tiny], np.float32), np.array([0]),
+                np.array([0, 1])), shape=(1, 1))
+    B = st.CSR((np.array([3.0], np.float32), np.array([0]),
+                np.array([0, 1])), shape=(1, 1))
+    C = st.spgemm(A, B, alg=1)
+    assert float(C.toarray()[0, 0]) == 3.0 * tiny
+    C2, _ = st.spgemm_fixed(A, B)
+    assert float(C2.toarray()[0, 0]) == 3.0 * tiny
+
+
+def test_spgemm_fixed_cap_too_small_raises():
+    A, _ = _rand_csr(30, 30, 0.3, 1)
+    B, _ = _rand_csr(30, 30, 0.3, 2)
+    from spmm_tpu.ops.spgemm import spgemm_nnz_estimate
+
+    _, ub = spgemm_nnz_estimate(A, B)
+    true_nnz = int(st.spgemm(A, B).nnz)
+    if true_nnz > 1:
+        with pytest.raises(ValueError):
+            st.spgemm_fixed(A, B, cap=true_nnz - 1)
+
+
+def test_spgemm_fixed_loose_cap_consistent():
+    # cap larger than true nnz: padded container must stay self-consistent
+    A, As = _rand_csr(25, 20, 0.2, 5)
+    B, Bs = _rand_csr(20, 22, 0.2, 6)
+    true_nnz = int(st.spgemm(A, B).nnz)
+    C, nnz = st.spgemm_fixed(A, B, cap=true_nnz + 13)
+    assert int(nnz) == true_nnz
+    assert int(C.indptr[-1]) <= C.data.shape[0]
+    ref = (As @ Bs).tocsr()
+    np.testing.assert_allclose(np.asarray(C.toarray()), ref.toarray(),
+                               rtol=2e-5, atol=1e-6)
