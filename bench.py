@@ -30,12 +30,16 @@ from jax import lax
 sys.path.insert(0, ".")
 
 import spmm_tpu as st  # noqa: E402
-from spmm_tpu.ops.spgemm import _alg1_fixed, densify_split_plan  # noqa: E402
+from spmm_tpu.ops.spgemm import _alg1_fixed  # noqa: E402
 
 BASELINE_MS = 2.1494  # reference ALG1, n=1024, rho=0.1 (BASELINE.md)
 SIZE = 1024
 DENSITY = 0.1
-K_INNER = 20
+# The dev relay charges ~30 ms per program call (dispatch + host sync),
+# an artifact of the remote tunnel: a trivial 1000-iteration scan and a
+# 10-iteration one take the same wall time (measured round 2).  K must be
+# large enough that the per-call overhead amortizes below the noise.
+K_INNER = 200
 REPS = 7
 
 
@@ -52,16 +56,33 @@ def main():
         A.indptr, A.indices, A.data, B.indptr, B.indices, B.data,
         jnp.float32(1.0), m, k, n)
     cap = int(nnz_dev)
-    splits = (densify_split_plan(A), densify_split_plan(B))
     alpha = jnp.float32(1.0)
     nnz_a = A.nnz
+
+    # measure the relay's per-program-call overhead with a trivial scan so
+    # it can be subtracted (it is a tunnel artifact, not device time); the
+    # per-iteration device cost of the trivial body is ~0
+    @jax.jit
+    def trivial(x):
+        def body(c, _):
+            return c * 1.0000001, ()
+        cf, _ = lax.scan(body, x, None, length=K_INNER)
+        return cf
+
+    jax.block_until_ready(trivial(jnp.float32(1.0)))
+    overheads = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(trivial(jnp.float32(1.0)))
+        overheads.append((time.perf_counter() - t0) * 1e3)
+    call_overhead = statistics.median(overheads)
 
     @jax.jit
     def loop(data_a):
         def body(d, _):
             indptr, col, dat, nnz = _alg1_fixed(
                 A.indptr, A.indices, d, B.indptr, B.indices, B.data,
-                alpha, m, k, n, cap, "highest", True, splits)
+                alpha, m, k, n, cap, "highest", True)
             # zero-scaled feedback: forces each iteration to depend on the
             # last without changing values
             d_next = d + 0.0 * lax.dynamic_slice(dat, (0,), (nnz_a,))
@@ -75,7 +96,8 @@ def main():
     for _ in range(REPS):
         t0 = time.perf_counter()
         jax.block_until_ready(loop(A.data))
-        times.append((time.perf_counter() - t0) * 1e3 / K_INNER)
+        times.append(((time.perf_counter() - t0) * 1e3 - call_overhead)
+                     / K_INNER)
     med = statistics.median(times)
     print(json.dumps({
         "metric": "spgemm_csr_n1024_d0.1_median_ms",
