@@ -30,7 +30,7 @@ from jax import lax
 sys.path.insert(0, ".")
 
 import spmm_tpu as st  # noqa: E402
-from spmm_tpu.ops.spgemm import _alg1_fixed  # noqa: E402
+from spmm_tpu.ops.spgemm import _alg1_fixed, alg1_onehot_plans  # noqa: E402
 
 BASELINE_MS = 2.1494  # reference ALG1, n=1024, rho=0.1 (BASELINE.md)
 SIZE = 1024
@@ -56,6 +56,9 @@ def main():
         A.indptr, A.indices, A.data, B.indptr, B.indices, B.data,
         jnp.float32(1.0), m, k, n)
     cap = int(nnz_dev)
+    # static Pallas densify plans (one indptr readback per matrix, reused
+    # across calls exactly like `cap`)
+    oh_plans = alg1_onehot_plans(A, B)
     alpha = jnp.float32(1.0)
     nnz_a = A.nnz
 
@@ -82,7 +85,8 @@ def main():
         def body(d, _):
             indptr, col, dat, nnz = _alg1_fixed(
                 A.indptr, A.indices, d, B.indptr, B.indices, B.data,
-                alpha, m, k, n, cap, "highest", True)
+                alpha, m, k, n, cap, "highest", True, (None, None),
+                False, oh_plans)
             # zero-scaled feedback: forces each iteration to depend on the
             # last without changing values
             d_next = d + 0.0 * lax.dynamic_slice(dat, (0,), (nnz_a,))

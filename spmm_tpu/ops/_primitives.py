@@ -305,3 +305,48 @@ def segsum_tree(values, head_flags):
         stop = stop | shifted_stop
         d *= 2
     return x
+
+
+# ---------------------------------------------------------------------------
+# 0/1 prefix sums on the MXU (triangular matmuls)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def cumsum01_tri(mask_flat):
+    """Inclusive prefix sum of a 0/1 vector via triangular MXU matmuls.
+
+    XLA lowers a large `jnp.cumsum` to a log-depth chain of full-array
+    passes; for 0/1 data the same prefix rides the MXU exactly:
+    lane-prefix = X(R,128) @ U(128,128) upper-triangular-ones (bf16 inputs
+    are exact 0/1, f32 accumulation exact for sums ≤ 2^24), then a
+    two-level hierarchy over row sums.  Used by the near-dense SpGEMM
+    extraction (ops/spgemm._extract_shift).
+    """
+    L = mask_flat.shape[0]
+    if L == 0:
+        return jnp.zeros((0,), INDEX_DTYPE)
+    R = -(-L // 128)
+    R2 = -(-R // 128)
+    x = mask_flat.astype(jnp.bfloat16)
+    if R * 128 != L:
+        x = jnp.concatenate(
+            [x, jnp.zeros((R * 128 - L,), jnp.bfloat16)])
+    X = x.reshape(R, 128)
+    i = lax.broadcasted_iota(INDEX_DTYPE, (128, 128), 0)
+    j = lax.broadcasted_iota(INDEX_DTYPE, (128, 128), 1)
+    U = (i <= j).astype(jnp.bfloat16)
+    p0 = jnp.dot(X, U, preferred_element_type=jnp.float32)  # (R, 128)
+    rs = p0[:, -1]  # row sums, each <= 128 (exact bf16 integers)
+    rs_pad = rs
+    if R2 * 128 != R:
+        rs_pad = jnp.concatenate(
+            [rs, jnp.zeros((R2 * 128 - R,), jnp.float32)])
+    RS = rs_pad.reshape(R2, 128).astype(jnp.bfloat16)
+    p1 = jnp.dot(RS, U, preferred_element_type=jnp.float32)  # (R2, 128)
+    g_sums = p1[:, -1]  # per-group sums
+    g_excl = jnp.cumsum(g_sums) - g_sums  # tiny (R2 elements)
+    row_excl = (p1 - rs_pad.reshape(R2, 128)) + g_excl[:, None]
+    row_excl = row_excl.reshape(R2 * 128)[:R]
+    out = p0 + row_excl[:, None]
+    return out.reshape(R * 128)[:L].astype(INDEX_DTYPE)

@@ -1,0 +1,194 @@
+"""Pallas TPU kernel: CSR → dense via windowed two-level one-hot MXU placement.
+
+The TPU-native replacement for the XLA densify scatter on the ALG1 SpGEMM
+hot path (the reference rides cuSPARSE's sparse descriptors instead —
+/root/reference modify_src/cupy-src/cupyx/cusparse.py:2044-2067; on TPU the
+dense intermediate IS the algorithm, so placement speed is the wall).
+
+XLA lowers a CSR→dense scatter to a serial ~6 ns/element loop (measured:
+0.62 ms for 105k entries — the round-1 "scatter wall").  This kernel
+vectorises placement with compare-generated one-hots contracted on the MXU:
+
+  * entries are processed in chunks of CH, in CSR order; each chunk touches
+    a bounded row window [r0, r0+W) (r0 per chunk from a tiny host plan —
+    one indptr readback per matrix, cacheable exactly like an output
+    capacity);
+  * the destination (row, col) is factored as (row, col>>7) × (col&127):
+    a combined "window-row × column-block" one-hot EQ (W·KQ, CH) and a
+    lane one-hot R (CH, 128), where KQ = k/128;
+  * dense window = EQᵀ @ (R ⊙ value): two MXU matmuls of shape
+    (W·KQ, CH) @ (CH, 128) instead of CH serial stores.  Lane-op cost is
+    CH·(W·KQ + 128) per chunk versus CH·k for a naive one-hot — ~6x less
+    at k=1024.
+
+Values are carried as an exact bf16 triple (hi, mid, lo — mantissa
+bit-masked, see `_primitives._bf16_split3`): each cell receives exactly one
+entry (canonical CSR), so the three bf16 contraction passes reconstruct the
+f32 value bitwise (hi+mid+lo, fixed order).  A fourth pass over R alone
+yields the structural 0/1 pattern, which keeps explicit zeros — this
+replaces the _TINY marker trick of the XLA path entirely.
+
+Output layout is (m_pad·KQ, 128) ≡ row-major (m_pad, k), so the caller's
+reshape is free.  Deterministic by construction: fixed chunk order, fixed
+reduction order, no atomics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import numpy as np
+
+INDEX_DTYPE = jnp.int32
+
+# default entries per grid chunk
+CH_DEFAULT = 1024
+# plans whose worst chunk spans more rows than this are rejected (the
+# matrix is too sparse for the windowed kernel — use the XLA scatter)
+W_MAX = 512
+# VMEM budget for the two resident output buffers (f32 + bf16 ≈ 6 B/cell)
+_VMEM_OUT_BUDGET = 10 * 2**20
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def densify_onehot_plan(indptr_host, m: int, k: int,
+                        ch: int = CH_DEFAULT,
+                        w_max: int = W_MAX) -> Optional[tuple]:
+    """Static chunk plan from a host copy of indptr.
+
+    Returns (r0s, W, CH) — per-chunk aligned window starts and the common
+    window height — or None when the kernel does not apply (empty matrix,
+    a chunk spanning too many rows, or outputs too big for VMEM).
+    """
+    indptr_host = np.asarray(indptr_host)
+    nnz = int(indptr_host[-1])
+    if nnz == 0:
+        return None
+    k_pad = _round_up(k, 128)
+    kq = k_pad // 128
+    align = 16 if kq == 1 else 8
+    nchunks = -(-nnz // ch)
+    starts = np.arange(nchunks, dtype=np.int64) * ch
+    ends = np.minimum(starts + ch, nnz) - 1
+    row_s = np.searchsorted(indptr_host, starts, side="right") - 1
+    row_e = np.searchsorted(indptr_host, ends, side="right") - 1
+    r0 = (row_s // align) * align
+    span = int((row_e - r0 + 1).max())
+    # W·KQ must be a multiple of 16 (bf16 sublane tile) and W a multiple
+    # of the alignment so dynamic stores stay tile-aligned
+    w = _round_up(span, align)
+    while (w * kq) % 16:
+        w += align
+    if w > w_max:
+        return None
+    if (m + w) * k_pad * 6 > _VMEM_OUT_BUDGET:
+        return None
+    return (tuple(int(x) for x in r0), w, ch)
+
+
+def _kernel(r0s_ref, wqb_ref, collo_ref, vhi_ref, vmid_ref, vlo_ref,
+            out_ref, pat_ref, *, WQ: int, KQ: int, CH: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        pat_ref[...] = jnp.zeros_like(pat_ref)
+
+    r0 = r0s_ref[i]
+    # combined (window-row, col-block) one-hot: (WQ, CH)
+    wq = wqb_ref[0, :] - r0 * KQ
+    eq = (lax.broadcasted_iota(INDEX_DTYPE, (WQ, CH), 0)
+          == wq[None, :]).astype(jnp.bfloat16)
+    # lane one-hot: (CH, 128)
+    roh = (collo_ref[...]
+           == lax.broadcasted_iota(INDEX_DTYPE, (CH, 128), 1))
+    rohb = roh.astype(jnp.bfloat16)
+
+    def mm(f):
+        return jnp.dot(eq, f, preferred_element_type=jnp.float32)
+
+    acc = ((mm(rohb * vhi_ref[...]) + mm(rohb * vmid_ref[...]))
+           + mm(rohb * vlo_ref[...]))
+    patc = mm(rohb)
+    s = pl.multiple_of(r0 * KQ, 8 * KQ)
+    out_ref[pl.ds(s, WQ), :] += acc
+    pat_ref[pl.ds(s, WQ), :] += patc.astype(jnp.bfloat16)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "k", "plan", "interpret"))
+def densify_onehot(indptr, indices, data, m: int, k: int, plan,
+                   interpret: bool = False):
+    """Dense (m, k) f32 values + (m, k) bf16 structural 0/1 pattern from a
+    canonical CSR.  `plan` comes from `densify_onehot_plan` (static)."""
+    from spmm_tpu.ops import _primitives as prim
+
+    r0s_t, W, CH = plan
+    nchunks = len(r0s_t)
+    k_pad = _round_up(k, 128)
+    KQ = k_pad // 128
+    WQ = W * KQ
+    m_pad = m + W
+    nnz = data.shape[0]
+    n_pad_total = nchunks * CH
+
+    rows = prim.rows_from_indptr(indptr, nnz)
+    wqb = rows * jnp.asarray(KQ, INDEX_DTYPE) + (indices >> 7)
+    collo = indices & 127
+    hi, mid, lo = prim._bf16_split3(data.astype(jnp.float32))
+
+    pad = n_pad_total - nnz
+    if pad:
+        wqb = jnp.concatenate(
+            [wqb, jnp.full((pad,), m * KQ, INDEX_DTYPE)])
+        collo = jnp.concatenate([collo, jnp.zeros((pad,), INDEX_DTYPE)])
+        zpad = jnp.zeros((pad,), jnp.bfloat16)
+        hi = jnp.concatenate([hi, zpad])
+        mid = jnp.concatenate([mid, zpad])
+        lo = jnp.concatenate([lo, zpad])
+
+    wqb = wqb.reshape(1, n_pad_total)
+    collo = collo.reshape(n_pad_total, 1)
+    hi = hi.reshape(n_pad_total, 1)
+    mid = mid.reshape(n_pad_total, 1)
+    lo = lo.reshape(n_pad_total, 1)
+    r0s = jnp.asarray(r0s_t, INDEX_DTYPE)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((1, CH), lambda i, r0s: (0, i)),
+            pl.BlockSpec((CH, 1), lambda i, r0s: (i, 0)),
+            pl.BlockSpec((CH, 1), lambda i, r0s: (i, 0)),
+            pl.BlockSpec((CH, 1), lambda i, r0s: (i, 0)),
+            pl.BlockSpec((CH, 1), lambda i, r0s: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((m_pad * KQ, 128), lambda i, r0s: (0, 0)),
+            pl.BlockSpec((m_pad * KQ, 128), lambda i, r0s: (0, 0)),
+        ],
+    )
+    out, pat = pl.pallas_call(
+        functools.partial(_kernel, WQ=WQ, KQ=KQ, CH=CH),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((m_pad * KQ, 128), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad * KQ, 128), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(r0s, wqb, collo, hi, mid, lo)
+    val = out.reshape(m_pad, k_pad)[:m, :k]
+    patm = pat.reshape(m_pad, k_pad)[:m, :k]
+    return val, patm

@@ -127,20 +127,25 @@ def densify_split_plan(a, nways: int = 4):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("m", "k", "n", "precision", "splits", "safe"))
+    static_argnames=("m", "k", "n", "precision", "splits", "safe",
+                     "oh_plans"))
 def _alg1_dense_compute(a_indptr, a_indices, a_data,
                         b_indptr, b_indices, b_data,
                         alpha, m: int, k: int, n: int,
                         precision: str = "highest", splits=(None, None),
-                        safe: bool = False):
+                        safe: bool = False, oh_plans=(None, None)):
     """Dense value + structural-pattern matmuls; returns (C, mask, nnz).
 
-    One scatter per operand: the value array is the marked dense with TINY
-    mapped back to 0; the bf16 pattern is a compare of the same array
-    (bf16 0/1 inputs accumulate exactly in the MXU's f32 for k < 2**24).
-    With `safe=True` the marker trick is replaced by a second 0/1 pattern
-    scatter per operand — required when an input legitimately stores the
-    value +TINY (see `_tiny_collision`); costs two extra scatters.
+    Densification: when `oh_plans` carries a static chunk plan per operand
+    (see kernels/densify_onehot), the Pallas windowed one-hot MXU kernel
+    produces the value matrix and the bf16 structural pattern directly —
+    2.2x faster than the XLA scatter and with no explicit-zero marker
+    games.  Otherwise one scatter per operand: the value array is the
+    marked dense with TINY mapped back to 0; the bf16 pattern is a compare
+    of the same array (bf16 0/1 inputs accumulate exactly in the MXU's f32
+    for k < 2**24).  With `safe=True` the marker trick is replaced by a
+    second 0/1 pattern scatter per operand — required when an input
+    legitimately stores the value +TINY (see `_tiny_collision`).
 
     `precision`: "highest" (bf16x6, fp32-grade, default) | "high" (bf16x3,
     rel err ~5e-7 — inside the reference's own ALG1-vs-ALG3 spread) |
@@ -149,7 +154,14 @@ def _alg1_dense_compute(a_indptr, a_indices, a_data,
     with --xla_allow_excess_precision=true, which folds cast-based splits
     into one lossy pass (measured 6e-3 rel error).
     """
-    if safe:
+    if oh_plans[0] is not None and oh_plans[1] is not None:
+        from spmm_tpu.ops.kernels.densify_onehot import densify_onehot
+
+        ad, a_pat = densify_onehot(a_indptr, a_indices, a_data, m, k,
+                                   oh_plans[0])
+        bd, b_pat = densify_onehot(b_indptr, b_indices, b_data, k, n,
+                                   oh_plans[1])
+    elif safe:
         ad = _densify_flat(a_indptr, a_indices, a_data, m, k, splits[0])
         bd = _densify_flat(b_indptr, b_indices, b_data, k, n, splits[1])
         a_pat = _densify_flat(
@@ -207,8 +219,9 @@ def _extract_shift(c, mask, cap: int, g_pad: int, m: int, n: int):
     """
     mk = m * n
     flat_mask = mask.ravel()
-    kept_cum = jnp.cumsum(flat_mask.astype(INDEX_DTYPE), dtype=INDEX_DTYPE)
-    hole_cum = (jnp.arange(1, mk + 1, dtype=INDEX_DTYPE) - kept_cum)
+    # hole prefix via triangular MXU matmuls — XLA's cumsum costs log-depth
+    # full-array passes at this size (see _primitives.cumsum01_tri)
+    hole_cum = prim.cumsum01_tri(~flat_mask)
     # pad so static slices [j : j+cap] stay in range for j ≤ g_pad
     cflat = jnp.concatenate([c.ravel(), jnp.zeros((g_pad,), c.dtype)])
     mpad = jnp.concatenate(
@@ -263,15 +276,39 @@ def _dense_extract(c, mask, nnz: int, m: int):
     return _extract_sort(c, mask, nnz, m, n)
 
 
+def alg1_onehot_plans(a, b):
+    """Static Pallas densify plans for both operands, or (None, None) when
+    the one-hot kernel does not apply (non-TPU backend, non-f32 data, or
+    shapes/sparsity outside the kernel's window contract).  Costs one
+    indptr readback per matrix — cache alongside `cap` on serving paths."""
+    from spmm_tpu.ops.kernels.densify_onehot import densify_onehot_plan
+
+    if jax.default_backend() != "tpu":
+        return (None, None)
+    if a.dtype != jnp.float32 or b.dtype != jnp.float32:
+        return (None, None)
+    m, k = a.shape
+    n = b.shape[1]
+    pa = densify_onehot_plan(np.asarray(a.indptr), m, k)
+    pb = densify_onehot_plan(np.asarray(b.indptr), k, n)
+    if pa is None or pb is None:
+        return (None, None)
+    return (pa, pb)
+
+
 def _spgemm_alg1(a, b, alpha, precision: str = "highest"):
     from spmm_tpu.sparse.csr import CSR
 
     m, k = a.shape
     n = b.shape[1]
-    safe = bool(_tiny_collision(a.data, b.data))  # rare: +TINY stored value
+    oh_plans = alg1_onehot_plans(a, b)
+    # marker collision check only matters on the scatter fallback
+    safe = (oh_plans[0] is None
+            and bool(_tiny_collision(a.data, b.data)))
     c, mask, nnz_dev = _alg1_dense_compute(
         a.indptr, a.indices, a.data, b.indptr, b.indices, b.data,
-        jnp.asarray(alpha, a.dtype), m, k, n, precision, safe=safe)
+        jnp.asarray(alpha, a.dtype), m, k, n, precision, safe=safe,
+        oh_plans=oh_plans)
     nnz = int(nnz_dev)  # host sync — the analogue of spMatGetSize
     indptr, col, data = _dense_extract(c, mask, nnz, m)
     return CSR.from_parts(indptr, col, data, (m, n), canonical=True)
@@ -583,21 +620,23 @@ def spgemm(a, b, alpha=1.0, alg: int = 0, chunk_fraction: float = 0.2,
 @functools.partial(
     jax.jit,
     static_argnames=("m", "k", "n", "cap", "precision", "exact_cap",
-                     "splits", "safe"))
+                     "splits", "safe", "oh_plans"))
 def _alg1_fixed(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
                 alpha, m: int, k: int, n: int, cap: int,
                 precision: str = "highest", exact_cap: bool = True,
-                splits=(None, None), safe: bool = False):
+                splits=(None, None), safe: bool = False,
+                oh_plans=(None, None)):
     """Single-dispatch ALG1 pipeline with a static output capacity.
 
     The jit-traceable SpGEMM: compute + extract fused into one XLA program,
     output CSR padded to `cap` entries (valid count returned alongside).
     This is the serving-path API — no host sync inside; size the capacity
-    once with `spgemm_nnz_estimate`/a warmup call and reuse.
+    once with `spgemm_nnz_estimate`/a warmup call (and optionally the
+    Pallas densify plans with `alg1_onehot_plans`) and reuse.
     """
     c, mask, nnz = _alg1_dense_compute(
         a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
-        alpha, m, k, n, precision, splits, safe)
+        alpha, m, k, n, precision, splits, safe, oh_plans)
     # The full/shift fast paths infer the hole count from cap and are only
     # valid when cap equals the exact output nnz (exact_cap); a merely
     # sufficient capacity uses the general sort-compaction.
@@ -634,20 +673,23 @@ def spgemm_fixed(a, b, alpha=1.0, cap: Optional[int] = None,
     a = a.sum_duplicates()
     b = b.sum_duplicates()
     exact_cap = cap is None
+    oh_plans = alg1_onehot_plans(a, b)
     splits = ((densify_split_plan(a), densify_split_plan(b))
-              if split_scatter else (None, None))
+              if split_scatter and oh_plans[0] is None else (None, None))
     m, k = a.shape
     n = b.shape[1]
-    safe = bool(_tiny_collision(a.data, b.data))
+    safe = (oh_plans[0] is None
+            and bool(_tiny_collision(a.data, b.data)))
     if cap is None:
         _, _, nnz_dev = _alg1_dense_compute(
             a.indptr, a.indices, a.data, b.indptr, b.indices, b.data,
-            jnp.asarray(alpha, a.dtype), m, k, n, safe=safe)
+            jnp.asarray(alpha, a.dtype), m, k, n, safe=safe,
+            oh_plans=oh_plans)
         cap = int(nnz_dev)
     indptr, col, data, nnz = _alg1_fixed(
         a.indptr, a.indices, a.data, b.indptr, b.indices, b.data,
         jnp.asarray(alpha, a.dtype), m, k, n, cap, precision, exact_cap,
-        splits, safe)
+        splits, safe, oh_plans)
     nnz_true = int(nnz)
     if nnz_true > cap:
         raise ValueError(

@@ -1,0 +1,72 @@
+"""Windowed one-hot MXU densify kernel (kernels/densify_onehot) — CPU
+interpret-mode correctness: bitwise value equality with the reference
+scatter densify, structural-pattern fidelity (explicit zeros kept), plan
+applicability boundaries.  On TPU the same kernel is the alg1 hot path
+(wired through `alg1_onehot_plans`)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import spmm_tpu as st
+from spmm_tpu.ops.kernels.densify_onehot import (densify_onehot,
+                                                 densify_onehot_plan)
+
+
+@pytest.mark.parametrize(
+    "m,k,density,seed",
+    [(64, 128, 0.1, 0), (100, 300, 0.05, 1), (256, 256, 0.3, 2),
+     (8, 1024, 0.5, 3), (33, 136, 0.2, 4)])
+def test_densify_onehot_bitwise(m, k, density, seed):
+    A = st.random(m, k, density, format="csr", random_state=seed)
+    plan = densify_onehot_plan(np.asarray(A.indptr), m, k, ch=256)
+    assert plan is not None
+    val, pat = densify_onehot(A.indptr, A.indices, A.data, m, k, plan,
+                              interpret=True)
+    ref = np.asarray(A.toarray())
+    assert np.array_equal(np.asarray(val), ref)
+    assert np.array_equal(np.asarray(pat, np.float32) != 0, ref != 0)
+
+
+def test_densify_onehot_explicit_zero_pattern():
+    # a stored zero must appear in the pattern but not the values
+    indptr = np.array([0, 2, 3], np.int32)
+    indices = np.array([1, 40, 7], np.int32)
+    data = np.array([0.0, 2.5, -1.0], np.float32)
+    A = st.CSR.from_parts(indptr, indices, data, (2, 64), canonical=True)
+    plan = densify_onehot_plan(indptr, 2, 64, ch=256)
+    val, pat = densify_onehot(A.indptr, A.indices, A.data, 2, 64, plan,
+                              interpret=True)
+    assert float(val[0, 1]) == 0.0
+    assert float(pat[0, 1]) == 1.0
+    assert float(val[0, 40]) == 2.5
+    assert float(pat[1, 7]) == 1.0
+    assert float(jnp.sum(pat)) == 3.0
+
+
+def test_densify_onehot_plan_boundaries():
+    # empty matrix -> no plan
+    A = st.CSR((5, 7), dtype=jnp.float32)
+    assert densify_onehot_plan(np.asarray(A.indptr), 5, 7) is None
+    # one chunk spanning too many rows (ultra-sparse) -> no plan
+    m = 100000
+    indptr = np.zeros(m + 1, np.int32)
+    indptr[1:] = np.cumsum(np.zeros(m, np.int32))
+    indptr[-1] = 1  # single entry in the last row
+    indptr[:-1] = 0
+    assert densify_onehot_plan(indptr, m, 128, ch=1024, w_max=64) is None
+
+
+def test_densify_onehot_values_with_wide_range():
+    # exact bf16x3 reconstruction across magnitudes
+    rng = np.random.default_rng(0)
+    m, k = 32, 256
+    A = st.random(m, k, 0.2, format="csr", random_state=9)
+    data = (rng.random(A.nnz).astype(np.float32) * 1e4
+            - 5e3).astype(np.float32)
+    A = st.CSR.from_parts(A.indptr, A.indices, jnp.asarray(data), (m, k),
+                          canonical=True)
+    plan = densify_onehot_plan(np.asarray(A.indptr), m, k, ch=128)
+    val, _ = densify_onehot(A.indptr, A.indices, A.data, m, k, plan,
+                            interpret=True)
+    assert np.array_equal(np.asarray(val), np.asarray(A.toarray()))
