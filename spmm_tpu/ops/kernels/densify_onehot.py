@@ -9,24 +9,28 @@ XLA lowers a CSR→dense scatter to a serial ~6 ns/element loop (measured:
 0.62 ms for 105k entries — the round-1 "scatter wall").  This kernel
 vectorises placement with compare-generated one-hots contracted on the MXU:
 
-  * entries are processed in chunks of CH, in CSR order; each chunk touches
-    a bounded row window [r0, r0+W) (r0 per chunk from a tiny host plan —
-    one indptr readback per matrix, cacheable exactly like an output
-    capacity);
+  * entries are processed in sub-chunks of CH, in CSR order; each sub-chunk
+    touches a bounded row window [r0, r0+W) (r0 per sub-chunk from a tiny
+    host plan — one indptr readback per matrix, cacheable exactly like an
+    output capacity);
   * the destination (row, col) is factored as (row, col>>7) × (col&127):
-    a combined "window-row × column-block" one-hot EQ (W·KQ, CH) and a
+    a combined "window-row × column-block" one-hot EQᵀ (CH, W·KQ) and a
     lane one-hot R (CH, 128), where KQ = k/128;
-  * dense window = EQᵀ @ (R ⊙ value): two MXU matmuls of shape
-    (W·KQ, CH) @ (CH, 128) instead of CH serial stores.  Lane-op cost is
-    CH·(W·KQ + 128) per chunk versus CH·k for a naive one-hot — ~6x less
-    at k=1024.
+  * dense window = EQᵀᵀ · (R ⊙ value): MXU contractions over the entry
+    dimension instead of CH serial stores.  Lane-op cost is
+    CH·(W·KQ + 128) per sub-chunk versus CH·k for a naive one-hot.
 
-Values are carried as an exact bf16 triple (hi, mid, lo — mantissa
-bit-masked, see `_primitives._bf16_split3`): each cell receives exactly one
-entry (canonical CSR), so the three bf16 contraction passes reconstruct the
-f32 value bitwise (hi+mid+lo, fixed order).  A fourth pass over R alone
-yields the structural 0/1 pattern, which keeps explicit zeros — this
-replaces the _TINY marker trick of the XLA path entirely.
+U sub-chunks are processed per grid step (static unroll) because Mosaic
+charges ~2.5 µs fixed cost per step; entry metadata is packed (CH, U) —
+sub-chunk per lane — so VMEM blocks are dense (a (CH, 1) layout pads to
+128 lanes and wastes 128x).
+
+Values travel as an exact bf16 triple (hi, mid, lo — mantissa bit-masked,
+see `_primitives._bf16_split3`): each cell receives exactly one entry
+(canonical CSR), so three bf16 contraction passes reconstruct the f32
+value bitwise (hi+mid+lo, fixed order).  A fourth pass over R alone yields
+the structural 0/1 pattern, which keeps explicit zeros — this replaces the
+_TINY marker trick of the XLA path entirely.
 
 Output layout is (m_pad·KQ, 128) ≡ row-major (m_pad, k), so the caller's
 reshape is free.  Deterministic by construction: fixed chunk order, fixed
@@ -36,7 +40,7 @@ reduction order, no atomics.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -48,9 +52,10 @@ import numpy as np
 
 INDEX_DTYPE = jnp.int32
 
-# default entries per grid chunk
+# entries per sub-chunk / sub-chunks per grid step
 CH_DEFAULT = 1024
-# plans whose worst chunk spans more rows than this are rejected (the
+U_DEFAULT = 16
+# plans whose worst sub-chunk spans more rows than this are rejected (the
 # matrix is too sparse for the windowed kernel — use the XLA scatter)
 W_MAX = 512
 # VMEM budget for the two resident output buffers (f32 + bf16 ≈ 6 B/cell)
@@ -63,12 +68,14 @@ def _round_up(x: int, m: int) -> int:
 
 def densify_onehot_plan(indptr_host, m: int, k: int,
                         ch: int = CH_DEFAULT,
-                        w_max: int = W_MAX) -> Optional[tuple]:
+                        w_max: int = W_MAX,
+                        unroll: int = U_DEFAULT) -> Optional[tuple]:
     """Static chunk plan from a host copy of indptr.
 
-    Returns (r0s, W, CH) — per-chunk aligned window starts and the common
-    window height — or None when the kernel does not apply (empty matrix,
-    a chunk spanning too many rows, or outputs too big for VMEM).
+    Returns (r0s, W, CH, U) — per-sub-chunk aligned window starts, the
+    common window height, entries per sub-chunk, sub-chunks per grid step
+    — or None when the kernel does not apply (empty matrix, a sub-chunk
+    spanning too many rows, or outputs too big for VMEM).
     """
     indptr_host = np.asarray(indptr_host)
     nnz = int(indptr_host[-1])
@@ -78,9 +85,12 @@ def densify_onehot_plan(indptr_host, m: int, k: int,
     kq = k_pad // 128
     align = 16 if kq == 1 else 8
     nchunks = -(-nnz // ch)
+    nsteps = -(-nchunks // unroll)
+    nchunks = nsteps * unroll
     starts = np.arange(nchunks, dtype=np.int64) * ch
-    ends = np.minimum(starts + ch, nnz) - 1
-    row_s = np.searchsorted(indptr_host, starts, side="right") - 1
+    ends = np.maximum(np.minimum(starts + ch, nnz) - 1, 0)
+    starts_c = np.minimum(starts, nnz - 1)
+    row_s = np.searchsorted(indptr_host, starts_c, side="right") - 1
     row_e = np.searchsorted(indptr_host, ends, side="right") - 1
     r0 = (row_s // align) * align
     span = int((row_e - r0 + 1).max())
@@ -93,11 +103,11 @@ def densify_onehot_plan(indptr_host, m: int, k: int,
         return None
     if (m + w) * k_pad * 6 > _VMEM_OUT_BUDGET:
         return None
-    return (tuple(int(x) for x in r0), w, ch)
+    return (tuple(int(x) for x in r0), w, ch, unroll)
 
 
-def _kernel(r0s_ref, wqb_ref, collo_ref, vhi_ref, vmid_ref, vlo_ref,
-            out_ref, pat_ref, *, WQ: int, KQ: int, CH: int):
+def _kernel(r0s_ref, wqs_ref, collo_ref, vhi_ref, vmid_ref, vlo_ref,
+            out_ref, pat_ref, *, WQ: int, KQ: int, CH: int, U: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -105,25 +115,36 @@ def _kernel(r0s_ref, wqb_ref, collo_ref, vhi_ref, vmid_ref, vlo_ref,
         out_ref[...] = jnp.zeros_like(out_ref)
         pat_ref[...] = jnp.zeros_like(pat_ref)
 
-    r0 = r0s_ref[i]
-    # combined (window-row, col-block) one-hot: (WQ, CH)
-    wq = wqb_ref[0, :] - r0 * KQ
-    eq = (lax.broadcasted_iota(INDEX_DTYPE, (WQ, CH), 0)
-          == wq[None, :]).astype(jnp.bfloat16)
-    # lane one-hot: (CH, 128)
-    roh = (collo_ref[...]
-           == lax.broadcasted_iota(INDEX_DTYPE, (CH, 128), 1))
-    rohb = roh.astype(jnp.bfloat16)
+    for j in range(U):  # static unroll over the lane-packed sub-chunks
+        r0 = r0s_ref[i * U + j]
+        # transposed (entry-major) combined one-hot: (CH, WQ)
+        wq = wqs_ref[:, j:j + 1] - r0 * KQ
+        eq_t = (wq == lax.broadcasted_iota(INDEX_DTYPE, (CH, WQ), 1)
+                ).astype(jnp.bfloat16)
+        # lane one-hot: (CH, 128)
+        rohb = (collo_ref[:, j:j + 1]
+                == lax.broadcasted_iota(INDEX_DTYPE, (CH, 128), 1)
+                ).astype(jnp.bfloat16)
 
-    def mm(f):
-        return jnp.dot(eq, f, preferred_element_type=jnp.float32)
+        def mm(f, eq_t=eq_t):
+            # contract the entry (sublane) dim of both: EQᵀᵀ @ F
+            return lax.dot_general(
+                eq_t, f, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
-    acc = ((mm(rohb * vhi_ref[...]) + mm(rohb * vmid_ref[...]))
-           + mm(rohb * vlo_ref[...]))
-    patc = mm(rohb)
-    s = pl.multiple_of(r0 * KQ, 8 * KQ)
-    out_ref[pl.ds(s, WQ), :] += acc
-    pat_ref[pl.ds(s, WQ), :] += patc.astype(jnp.bfloat16)
+        acc = ((mm(rohb * vhi_ref[:, j:j + 1])
+                + mm(rohb * vmid_ref[:, j:j + 1]))
+               + mm(rohb * vlo_ref[:, j:j + 1]))
+        patc = mm(rohb)
+        s = pl.multiple_of(r0 * KQ, 8 * KQ)
+        out_ref[pl.ds(s, WQ), :] += acc
+        pat_ref[pl.ds(s, WQ), :] += patc.astype(jnp.bfloat16)
+
+
+def _pack_lanes(x, nsteps: int, U: int, CH: int):
+    """(nsteps*U*CH,) → (nsteps*CH, U): sub-chunk index on lanes."""
+    return x.reshape(nsteps, U, CH).transpose(0, 2, 1).reshape(
+        nsteps * CH, U)
 
 
 @functools.partial(
@@ -134,8 +155,9 @@ def densify_onehot(indptr, indices, data, m: int, k: int, plan,
     canonical CSR.  `plan` comes from `densify_onehot_plan` (static)."""
     from spmm_tpu.ops import _primitives as prim
 
-    r0s_t, W, CH = plan
+    r0s_t, W, CH, U = plan
     nchunks = len(r0s_t)
+    nsteps = nchunks // U
     k_pad = _round_up(k, 128)
     KQ = k_pad // 128
     WQ = W * KQ
@@ -158,22 +180,22 @@ def densify_onehot(indptr, indices, data, m: int, k: int, plan,
         mid = jnp.concatenate([mid, zpad])
         lo = jnp.concatenate([lo, zpad])
 
-    wqb = wqb.reshape(1, n_pad_total)
-    collo = collo.reshape(n_pad_total, 1)
-    hi = hi.reshape(n_pad_total, 1)
-    mid = mid.reshape(n_pad_total, 1)
-    lo = lo.reshape(n_pad_total, 1)
+    wqb = _pack_lanes(wqb, nsteps, U, CH)
+    collo = _pack_lanes(collo, nsteps, U, CH)
+    hi = _pack_lanes(hi, nsteps, U, CH)
+    mid = _pack_lanes(mid, nsteps, U, CH)
+    lo = _pack_lanes(lo, nsteps, U, CH)
     r0s = jnp.asarray(r0s_t, INDEX_DTYPE)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nchunks,),
+        grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1, CH), lambda i, r0s: (0, i)),
-            pl.BlockSpec((CH, 1), lambda i, r0s: (i, 0)),
-            pl.BlockSpec((CH, 1), lambda i, r0s: (i, 0)),
-            pl.BlockSpec((CH, 1), lambda i, r0s: (i, 0)),
-            pl.BlockSpec((CH, 1), lambda i, r0s: (i, 0)),
+            pl.BlockSpec((CH, U), lambda i, r0s: (i, 0)),
+            pl.BlockSpec((CH, U), lambda i, r0s: (i, 0)),
+            pl.BlockSpec((CH, U), lambda i, r0s: (i, 0)),
+            pl.BlockSpec((CH, U), lambda i, r0s: (i, 0)),
+            pl.BlockSpec((CH, U), lambda i, r0s: (i, 0)),
         ],
         out_specs=[
             pl.BlockSpec((m_pad * KQ, 128), lambda i, r0s: (0, 0)),
@@ -181,7 +203,7 @@ def densify_onehot(indptr, indices, data, m: int, k: int, plan,
         ],
     )
     out, pat = pl.pallas_call(
-        functools.partial(_kernel, WQ=WQ, KQ=KQ, CH=CH),
+        functools.partial(_kernel, WQ=WQ, KQ=KQ, CH=CH, U=U),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((m_pad * KQ, 128), jnp.float32),

@@ -49,11 +49,32 @@ def _dense_spmv(a_dense, x, alpha):
     return alpha * (a_dense @ x)
 
 
-def spmv(a, x, alpha=1.0, transa: bool = False, via: str = "csr"):
+def spmv_onehot_plans(a):
+    """Static Pallas SpMV plan for `a` (one indptr readback, cacheable),
+    or None when the one-hot kernel does not apply."""
+    from spmm_tpu.ops.kernels.spmv_onehot import spmv_onehot_plan
+
+    if jax.default_backend() != "tpu":
+        return None
+    if a.dtype != jnp.float32:
+        return None
+    import numpy as np
+
+    m, n = a.shape
+    return spmv_onehot_plan(np.asarray(a.indptr), m, n)
+
+
+def spmv(a, x, alpha=1.0, transa: bool = False, via: str = "auto",
+         plan=None):
     """y = alpha * op(A) @ x.
 
     Validation mirrors cusparse.spmv: A must be CSR (CSC handled via cheap
     transpose view), x a 1-D dense vector of matching length.
+
+    `via`: "auto" (Pallas one-hot MXU kernel on TPU when applicable, else
+    gather+segment-sum), "onehot", "csr", or "dense".  `plan` may carry a
+    cached `spmv_onehot_plans(a)` result to skip the per-call host
+    readback on serving paths.
     """
     from spmm_tpu.sparse.base import issparse
     from spmm_tpu.sparse.csc import CSC
@@ -78,6 +99,19 @@ def spmv(a, x, alpha=1.0, transa: bool = False, via: str = "csr"):
     if via == "dense":
         ad = a.toarray()
         return _dense_spmv(ad.T if transa else ad, x, alpha)
+    if not transa and via in ("auto", "onehot"):
+        a = a.sum_duplicates()  # kernel requires canonical entries
+        if plan is None:
+            plan = spmv_onehot_plans(a)
+        if plan is not None:
+            from spmm_tpu.ops.kernels.spmv_onehot import spmv_onehot
+
+            y = spmv_onehot(a.indptr, a.indices, a.data, x, m, n, plan)
+            return alpha * y
+        if via == "onehot":
+            raise ValueError("spmv via='onehot' requested but the kernel "
+                             "does not apply (non-TPU backend, non-f32 "
+                             "data, or shapes outside the plan contract)")
     if transa:
         return _csr_spmv_t(a.indptr, a.indices, a.data, x, alpha, ncols=n)
     return _csr_spmv(a.indptr, a.indices, a.data, x, alpha)
