@@ -29,7 +29,10 @@ def main():
                   random_state=args.seed)
     B = st.random(args.size, args.size, args.density, format="csr",
                   random_state=args.seed + 1)
-    C = st.spgemm(A, B, alg=args.alg, chunk_fraction=args.chunk_fraction)
+    # the native binary replays the ESC expansion/doubling-tree bitwise,
+    # so pin the ESC engine regardless of the auto dispatcher
+    C = st.spgemm(A, B, alg=args.alg, chunk_fraction=args.chunk_fraction,
+                  impl="esc")
     io.save_csr_txt(args.prefix + "_A", A)
     io.save_csr_txt(args.prefix + "_B", B)
     io.save_csr_txt(args.prefix + "_C_py", C)

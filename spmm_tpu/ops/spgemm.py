@@ -413,7 +413,7 @@ def _esc_expand_sort_count(a_rows, a_indices, a_data,
     return row_s, col_s, val_s, nnz_c
 
 
-def _spgemm_alg2(a, b, alpha):
+def _spgemm_alg2_esc(a, b, alpha):
     from spmm_tpu.sparse.csr import CSR
 
     m, _ = a.shape
@@ -506,7 +506,7 @@ def _chunk_extract(row_s, col_s, val_s, new_group, valid_s, alpha,
     return row_s[first_pos], col_s[first_pos], alpha * scanned[last_pos]
 
 
-def _spgemm_alg3(a, b, alpha, chunk_fraction: float, verbose: bool = False):
+def _spgemm_alg3_esc(a, b, alpha, chunk_fraction: float, verbose: bool = False):
     from spmm_tpu.sparse.csr import CSR
 
     m, _ = a.shape
@@ -584,11 +584,26 @@ def _empty_csr(m, n, dtype):
                           jnp.zeros((0,), dtype), (m, n), canonical=True)
 
 
+def _blocked_feasible(a, b) -> bool:
+    """Dense-tile strategies apply when A/B dense panels fit the budget
+    (the same regime class as alg1's intermediates)."""
+    m, k = a.shape
+    n = b.shape[1]
+    return (4 * (m * k + k * n) <= _DENSE_BUDGET_BYTES
+            and (m + 256) * (n + 256) < 2**31)
+
+
 def spgemm(a, b, alpha=1.0, alg: int = 0, chunk_fraction: float = 0.2,
-           verbose: bool = False, precision: str = "highest"):
+           verbose: bool = False, precision: str = "highest",
+           impl: str = "auto"):
     """C = alpha * A @ B, both CSR.  API mirrors the modified
     `cupyx.cusparse.spgemm` (cusparse.py:2007): alg ∈ {0 (default), 1, 2, 3},
     `chunk_fraction` applies to alg=3.
+
+    `impl` selects the alg2/alg3 engine: "auto" uses the MXU blocked
+    dense-intermediate pipelines (ops/spgemm_blocked) when A/B dense
+    panels fit the budget and falls back to expand-sort-compress
+    otherwise; "dense" / "esc" force one engine.
     """
     from spmm_tpu.sparse.csr import CSR
 
@@ -597,8 +612,12 @@ def spgemm(a, b, alpha=1.0, alg: int = 0, chunk_fraction: float = 0.2,
                         "cusparse.spgemm validation")
     if a.shape[1] != b.shape[0]:
         raise ValueError(f"dimension mismatch: {a.shape} @ {b.shape}")
+    if impl not in ("auto", "dense", "esc"):
+        raise ValueError(f"unknown impl {impl!r}")
     a = a.sum_duplicates()
     b = b.sum_duplicates()
+    use_blocked = (impl == "dense"
+                   or (impl == "auto" and _blocked_feasible(a, b)))
     if alg in (0, 1):
         m, k = a.shape
         n = b.shape[1]
@@ -608,12 +627,21 @@ def spgemm(a, b, alpha=1.0, alg: int = 0, chunk_fraction: float = 0.2,
                 print(f"[spgemm] alg1 dense-intermediate ({dense_bytes} B)")
             return _spgemm_alg1(a, b, alpha, precision)
         if verbose:
-            print("[spgemm] auto: dense footprint too large → ESC (alg2)")
-        return _spgemm_alg2(a, b, alpha)
+            print("[spgemm] auto: dense footprint too large → alg2")
+        alg = 2
     if alg == 2:
-        return _spgemm_alg2(a, b, alpha)
+        if use_blocked and a.nnz and b.nnz:
+            from spmm_tpu.ops.spgemm_blocked import spgemm_alg2_blocked
+
+            return spgemm_alg2_blocked(a, b, alpha, precision, verbose)
+        return _spgemm_alg2_esc(a, b, alpha)
     if alg == 3:
-        return _spgemm_alg3(a, b, alpha, chunk_fraction, verbose)
+        if use_blocked and a.nnz and b.nnz:
+            from spmm_tpu.ops.spgemm_blocked import spgemm_alg3_blocked
+
+            return spgemm_alg3_blocked(a, b, alpha, chunk_fraction,
+                                       precision, verbose)
+        return _spgemm_alg3_esc(a, b, alpha, chunk_fraction, verbose)
     raise ValueError(f"unknown alg {alg!r} (expected 0, 1, 2 or 3)")
 
 

@@ -1,0 +1,385 @@
+"""Blocked dense-intermediate SpGEMM — the TPU-native ALG2/ALG3.
+
+cuSPARSE's ALG2/ALG3 are hash-based SpGEMMs with bounded/chunked memory
+(/root/reference modify_src/cupy-src/cupyx/cusparse.py:2086-2137,
+cupy_cusparse/spgemm_from_txt_alg3.cu:195-207).  A TPU has no
+atomics-friendly hash table, but it has an MXU: the idiomatic equivalent
+of a per-row hash accumulator at moderate density is a *dense tile
+accumulator*, so the "balanced" and "chunked low-memory" strategies are
+re-architected as tiled dense-intermediate pipelines with sparse output:
+
+  alg2 (balanced):  densify A and B once, then stream 128-row tiles of C
+      through a `lax.scan`: value + structural-pattern matmul per tile,
+      sort-compaction per tile, one dynamic-offset merge.  Peak memory
+      drops the full dense C of alg1 (the largest term as n grows) —
+      O(m·k + k·n + tile) vs alg1's O(m·k + k·n + 2·m·n).
+
+  alg3 (chunked):   nothing is ever fully dense — A is densified one
+      128-row tile at a time and B one column panel at a time, with the
+      panel width set by `chunk_fraction` (the exact knob semantics of
+      `cusparseSpGEMM_estimateMemory`): peak workspace
+      O(128·k + k·n_b + 128·n_b), n_b ≈ chunk_fraction · n.  Slowest of
+      the three (A tiles are re-densified once per panel), mirroring the
+      reference's time↔memory hierarchy (BASELINE.md: ALG1 fastest/most
+      memory … ALG3 slowest/least).
+
+Both run as two XLA programs with a single host sizing readback between
+them (the analogue of `workEstimation` → `spMatGetSize` → `compute`), use
+only fixed-order reductions (MXU k-order, stable sorts), and are
+deterministic run-to-run.  Expand-sort-compress (ops/spgemm alg2/3
+`impl="esc"`) remains the fallback for shapes/densities where any dense
+intermediate is infeasible.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from spmm_tpu.ops import _primitives as prim
+
+INDEX_DTYPE = prim.INDEX_DTYPE
+TILE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pattern_dense(indptr, indices, nnz, m: int, k: int):
+    """Structural 0/1 bf16 dense from CSR structure (one scatter)."""
+    rows = prim.rows_from_indptr(indptr, nnz)
+    flat = rows * jnp.asarray(k, INDEX_DTYPE) + indices
+    out = jnp.zeros((m * k,), jnp.float32).at[flat].set(
+        1.0, indices_are_sorted=True, unique_indices=True)
+    return out.reshape(m, k).astype(jnp.bfloat16)
+
+
+def _value_dense(indptr, indices, data, m: int, k: int):
+    rows = prim.rows_from_indptr(indptr, data.shape[0])
+    flat = rows * jnp.asarray(k, INDEX_DTYPE) + indices
+    out = jnp.zeros((m * k,), data.dtype).at[flat].set(
+        data, indices_are_sorted=True, unique_indices=True)
+    return out.reshape(m, k)
+
+
+_PREC = {"highest": lax.Precision.HIGHEST,
+         "high": lax.Precision.HIGH,
+         "default": lax.Precision.DEFAULT}
+
+
+# ===========================================================================
+# ALG2 — row-tile streamed, A/B dense once
+# ===========================================================================
+
+
+@functools.partial(jax.jit, static_argnames=("m_pad", "k", "n", "T"))
+def _alg2_count(a_indptr, a_indices, b_indptr, b_indices,
+                m_pad: int, k: int, n: int, T: int):
+    """Sizing pass (the workEstimation analogue): per-row and per-tile
+    structural output counts from one pattern-matmul sweep."""
+    a_pat = _pattern_dense(a_indptr, a_indices, a_indices.shape[0],
+                           m_pad, k)
+    b_pat = _pattern_dense(b_indptr, b_indices, b_indices.shape[0], k, n)
+
+    def tile_body(_, t):
+        ap = lax.dynamic_slice(a_pat, (t * TILE, 0), (TILE, k))
+        counts = jnp.dot(ap, b_pat, preferred_element_type=jnp.float32)
+        rowc = jnp.sum(counts > 0, axis=1, dtype=INDEX_DTYPE)
+        return 0, rowc
+
+    _, rowc = lax.scan(tile_body, 0, jnp.arange(T, dtype=INDEX_DTYPE))
+    rowc = rowc.reshape(m_pad)
+    tilec = rowc.reshape(T, TILE).sum(axis=1, dtype=INDEX_DTYPE)
+    return rowc, tilec
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "m_pad", "k", "n", "T", "cap_tile", "nnz",
+                     "precision"))
+def _alg2_compute(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
+                  alpha, m: int, m_pad: int, k: int, n: int, T: int,
+                  cap_tile: int, nnz: int, precision: str):
+    ad = _value_dense(a_indptr, a_indices, a_data, m_pad, k)
+    bd = _value_dense(b_indptr, b_indices, b_data, k, n)
+    a_pat = _pattern_dense(a_indptr, a_indices, a_indices.shape[0],
+                           m_pad, k)
+    b_pat = _pattern_dense(b_indptr, b_indices, b_indices.shape[0], k, n)
+    prec = _PREC[precision]
+
+    def tile_body(_, t):
+        at = lax.dynamic_slice(ad, (t * TILE, 0), (TILE, k))
+        ct = jnp.dot(at, bd, precision=prec,
+                     preferred_element_type=ad.dtype)
+        ap = lax.dynamic_slice(a_pat, (t * TILE, 0), (TILE, k))
+        counts = jnp.dot(ap, b_pat, preferred_element_type=jnp.float32)
+        mask = (counts > 0).ravel()
+        nnz_t = jnp.sum(mask, dtype=INDEX_DTYPE)
+        keys = jnp.where(mask, jnp.int8(0), jnp.int8(1))
+        idx = jnp.arange(TILE * n, dtype=INDEX_DTYPE)
+        _, flat_s, val_s = lax.sort((keys, idx, ct.ravel()), num_keys=1,
+                                    is_stable=True)
+        rowc = jnp.sum(counts > 0, axis=1, dtype=INDEX_DTYPE)
+        return 0, (flat_s[:cap_tile], val_s[:cap_tile], nnz_t, rowc)
+
+    _, (flat_t, val_t, nnz_ts, rowc) = lax.scan(
+        tile_body, 0, jnp.arange(T, dtype=INDEX_DTYPE))
+
+    # merge the per-tile padded segments at their exact offsets; ascending
+    # dynamic-update-slices let each tile overwrite the previous tile's
+    # padding garbage
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), INDEX_DTYPE),
+         jnp.cumsum(nnz_ts, dtype=INDEX_DTYPE)])
+    colbuf = jnp.zeros((nnz + cap_tile,), INDEX_DTYPE)
+    valbuf = jnp.zeros((nnz + cap_tile,), a_data.dtype)
+
+    def merge(bufs, t):
+        cb, vb = bufs
+        cols = flat_t[t] % jnp.asarray(n, INDEX_DTYPE)
+        cb = lax.dynamic_update_slice(cb, cols, (offs[t],))
+        vb = lax.dynamic_update_slice(vb, val_t[t], (offs[t],))
+        return (cb, vb), ()
+
+    (colbuf, valbuf), _ = lax.scan(
+        merge, (colbuf, valbuf), jnp.arange(T, dtype=INDEX_DTYPE))
+    indptr = jnp.concatenate(
+        [jnp.zeros((1,), INDEX_DTYPE),
+         jnp.cumsum(rowc.reshape(-1)[:m], dtype=INDEX_DTYPE)])
+    return indptr, colbuf[:nnz], alpha * valbuf[:nnz]
+
+
+def spgemm_alg2_blocked(a, b, alpha, precision: str = "highest",
+                        verbose: bool = False):
+    """Balanced blocked SpGEMM; see module docstring."""
+    from spmm_tpu.sparse.csr import CSR
+
+    m, k = a.shape
+    n = b.shape[1]
+    m_pad = _round_up(max(m, 1), TILE)
+    T = m_pad // TILE
+    a_indptr = a.indptr
+    if m_pad != m:
+        a_indptr = jnp.concatenate(
+            [a_indptr, jnp.full((m_pad - m,), a.indptr[-1], INDEX_DTYPE)])
+    rowc, tilec = _alg2_count(a_indptr, a.indices, b.indptr, b.indices,
+                              m_pad, k, n, T)
+    tilec_h = np.asarray(tilec)  # host sizing readback (spMatGetSize)
+    nnz = int(tilec_h.sum())
+    if nnz == 0:
+        from spmm_tpu.ops.spgemm import _empty_csr
+
+        return _empty_csr(m, n, a.dtype)
+    cap_tile = _round_up(int(tilec_h.max()), 8)
+    if verbose:
+        print(f"[spgemm alg2/blocked] T={T} cap_tile={cap_tile} nnz={nnz}")
+    indptr, cols, vals = _alg2_compute(
+        a_indptr, a.indices, a.data, b.indptr, b.indices, b.data,
+        jnp.asarray(alpha, a.dtype), m, m_pad, k, n, T, cap_tile, nnz,
+        precision)
+    return CSR.from_parts(indptr, cols, vals, (m, n), canonical=True)
+
+
+# ===========================================================================
+# ALG3 — tile × panel streamed, nothing fully dense
+# ===========================================================================
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m_pad", "k", "n_b", "T", "P", "Ea", "Eb"))
+def _alg3_count(a_off, a_end, a_colv, b_off, b_end, b_rowv, b_colv,
+                m_pad: int, k: int, n_b: int, T: int, P: int,
+                Ea: int, Eb: int):
+    """Sizing pass over (panel, tile) blocks: per-row and per-block
+    structural counts.  Entry streams arrive pre-padded: A per-tile runs
+    ([a_off, a_end), flattened local row*k+col in a_colv), B per-panel
+    runs likewise; positions past a run's end are masked to sentinels."""
+
+    def panel_body(_, p):
+        bvalid = b_off[p] + jnp.arange(Eb, dtype=INDEX_DTYPE) < b_end[p]
+        bseg = jnp.where(
+            bvalid, lax.dynamic_slice(b_rowv, (b_off[p],), (Eb,)), k)
+        bcol = jnp.where(
+            bvalid, lax.dynamic_slice(b_colv, (b_off[p],), (Eb,)), 0)
+        bflat = bseg * jnp.asarray(n_b, INDEX_DTYPE) + bcol
+        b_pat = jnp.zeros(((k + 1) * n_b,), jnp.float32).at[bflat].add(
+            1.0, mode="drop")[:k * n_b].reshape(k, n_b)
+        b_pat = (b_pat > 0).astype(jnp.bfloat16)
+
+        def tile_body(_, t):
+            avalid = (a_off[t] + jnp.arange(Ea, dtype=INDEX_DTYPE)
+                      < a_end[t])
+            aseg = jnp.where(
+                avalid, lax.dynamic_slice(a_colv, (a_off[t],), (Ea,)),
+                TILE * k)
+            a_pat = jnp.zeros(((TILE + 1) * k,), jnp.float32).at[
+                aseg].add(1.0, mode="drop")[:TILE * k].reshape(TILE, k)
+            a_pat = (a_pat > 0).astype(jnp.bfloat16)
+            counts = jnp.dot(a_pat, b_pat,
+                             preferred_element_type=jnp.float32)
+            rowc = jnp.sum(counts > 0, axis=1, dtype=INDEX_DTYPE)
+            return 0, rowc
+
+        _, rowc_p = lax.scan(tile_body, 0,
+                             jnp.arange(T, dtype=INDEX_DTYPE))
+        return 0, rowc_p  # (T, TILE)
+
+    _, rowc_pt = lax.scan(panel_body, 0, jnp.arange(P, dtype=INDEX_DTYPE))
+    rowc = rowc_pt.sum(axis=0).reshape(m_pad)  # (P,T,TILE) → per-row
+    blockc = rowc_pt.sum(axis=2)  # (P, T)
+    return rowc, blockc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "m_pad", "k", "n", "n_b", "T", "P", "Ea", "Eb",
+                     "cap_blk", "nnz", "precision"))
+def _alg3_compute(a_off, a_end, a_colv, a_val, b_off, b_end, b_rowv,
+                  b_colv, b_val, alpha, m: int, m_pad: int, k: int,
+                  n: int, n_b: int, T: int, P: int, Ea: int, Eb: int,
+                  cap_blk: int, nnz: int, precision: str):
+    prec = _PREC[precision]
+
+    def panel_body(_, p):
+        boff = b_off[p]
+        bvalid = boff + jnp.arange(Eb, dtype=INDEX_DTYPE) < b_end[p]
+        bseg = jnp.where(
+            bvalid, lax.dynamic_slice(b_rowv, (boff,), (Eb,)), k)
+        bcol = jnp.where(
+            bvalid, lax.dynamic_slice(b_colv, (boff,), (Eb,)), 0)
+        bval = jnp.where(
+            bvalid, lax.dynamic_slice(b_val, (boff,), (Eb,)), 0)
+        bflat = bseg * jnp.asarray(n_b, INDEX_DTYPE) + bcol
+        bd = jnp.zeros(((k + 1) * n_b,), bval.dtype).at[bflat].add(
+            bval, mode="drop")[:k * n_b].reshape(k, n_b)
+        b_pat = jnp.zeros(((k + 1) * n_b,), jnp.float32).at[bflat].add(
+            1.0, mode="drop")[:k * n_b].reshape(k, n_b)
+        b_pat = (b_pat > 0).astype(jnp.bfloat16)
+
+        def tile_body(_, t):
+            aoff = a_off[t]
+            avalid = aoff + jnp.arange(Ea, dtype=INDEX_DTYPE) < a_end[t]
+            aseg = jnp.where(
+                avalid, lax.dynamic_slice(a_colv, (aoff,), (Ea,)),
+                TILE * k)
+            aval = jnp.where(
+                avalid, lax.dynamic_slice(a_val, (aoff,), (Ea,)), 0)
+            ad = jnp.zeros(((TILE + 1) * k,), aval.dtype).at[aseg].add(
+                aval, mode="drop")[:TILE * k].reshape(TILE, k)
+            a_pat = jnp.zeros(((TILE + 1) * k,), jnp.float32).at[
+                aseg].add(1.0, mode="drop")[:TILE * k].reshape(TILE, k)
+            a_pat = (a_pat > 0).astype(jnp.bfloat16)
+            ct = jnp.dot(ad, bd, precision=prec,
+                         preferred_element_type=aval.dtype)
+            counts = jnp.dot(a_pat, b_pat,
+                             preferred_element_type=jnp.float32)
+            mask = (counts > 0).ravel()
+            nnz_b = jnp.sum(mask, dtype=INDEX_DTYPE)
+            keys = jnp.where(mask, jnp.int8(0), jnp.int8(1))
+            idx = jnp.arange(TILE * n_b, dtype=INDEX_DTYPE)
+            _, flat_s, val_s = lax.sort((keys, idx, ct.ravel()),
+                                        num_keys=1, is_stable=True)
+            flat_c = flat_s[:cap_blk]
+            lrow = flat_c // jnp.asarray(n_b, INDEX_DTYPE)
+            lcol = flat_c % jnp.asarray(n_b, INDEX_DTYPE)
+            valid = jnp.arange(cap_blk, dtype=INDEX_DTYPE) < nnz_b
+            grow = jnp.where(valid, lrow + t * TILE, m_pad)
+            gcol = jnp.where(valid, lcol + p * n_b, 0)
+            return 0, (grow, gcol,
+                       jnp.where(valid, val_s[:cap_blk], 0), nnz_b)
+
+        _, out_t = lax.scan(tile_body, 0, jnp.arange(T, dtype=INDEX_DTYPE))
+        return 0, out_t
+
+    _, (rows_b, cols_b, vals_b, _) = lax.scan(
+        panel_body, 0, jnp.arange(P, dtype=INDEX_DTYPE))
+    # assemble: invalid entries carry row m_pad and sort to the end;
+    # panels are column-disjoint so there are no duplicates to merge
+    row_all = rows_b.reshape(-1)
+    col_all = cols_b.reshape(-1)
+    val_all = vals_b.reshape(-1)
+    row_s, col_s, (val_s,) = prim.lexsort_rowcol(
+        row_all, col_all, (val_all,), (m_pad + 1, n))
+    indptr = jnp.concatenate(
+        [jnp.zeros((1,), INDEX_DTYPE),
+         jnp.cumsum(jnp.bincount(row_s[:nnz], length=m_pad
+                                 ).astype(INDEX_DTYPE)[:m],
+                    dtype=INDEX_DTYPE)])
+    return indptr, col_s[:nnz], alpha * val_s[:nnz]
+
+
+def spgemm_alg3_blocked(a, b, alpha, chunk_fraction: float,
+                        precision: str = "highest",
+                        verbose: bool = False):
+    """Chunked low-memory blocked SpGEMM; see module docstring."""
+    from spmm_tpu.sparse.csr import CSR
+    from spmm_tpu.ops.spgemm import _empty_csr
+
+    m, k = a.shape
+    n = b.shape[1]
+    chunk_fraction = min(max(float(chunk_fraction), 1e-3), 1.0)
+    n_pad = _round_up(n, 128)
+    n_b = min(max(_round_up(int(np.ceil(chunk_fraction * n)), 128), 128),
+              n_pad)
+    P = n_pad // n_b if n_pad % n_b == 0 else -(-n_pad // n_b)
+    n_b = n_pad // P if n_pad % P == 0 else n_b
+    P = -(-n_pad // n_b)
+    m_pad = _round_up(max(m, 1), TILE)
+    T = m_pad // TILE
+
+    # --- host-side entry-run plans (one indptr/indices readback each,
+    # the same granularity as the ESC sizing passes) ---
+    a_indptr_h = np.asarray(a.indptr)
+    a_starts = a_indptr_h[np.minimum(np.arange(T) * TILE, m)]
+    a_ends = a_indptr_h[np.minimum(np.arange(1, T + 1) * TILE, m)]
+    Ea = max(_round_up(int((a_ends - a_starts).max()), 8), 8)
+
+    b_cols_h = np.asarray(b.indices)
+    panel_of = b_cols_h // n_b
+    b_counts = np.bincount(panel_of, minlength=P)
+    Eb = max(_round_up(int(b_counts.max()), 8), 8)
+    if verbose:
+        print(f"[spgemm alg3/blocked] T={T} P={P} n_b={n_b} Ea={Ea} "
+              f"Eb={Eb}")
+
+    # A per-tile entry stream: flattened local (row, col) with sentinel
+    nnz_a = a.nnz
+    a_rows = a.rows
+    a_lrow = a_rows % TILE
+    a_flat = a_lrow * jnp.asarray(k, INDEX_DTYPE) + a.indices
+    a_flat = jnp.concatenate(
+        [a_flat, jnp.full((Ea,), TILE * k, INDEX_DTYPE)])
+    a_val = jnp.concatenate([a.data, jnp.zeros((Ea,), a.dtype)])
+    a_off = jnp.asarray(a_starts, INDEX_DTYPE)
+    a_end_d = jnp.asarray(a_ends, INDEX_DTYPE)
+
+    # B panel-major reorder (stable: panel, then original (row, col))
+    order = jnp.argsort(jnp.asarray(panel_of, INDEX_DTYPE), stable=True)
+    b_rows = b.rows[order]
+    b_colw = (b.indices % jnp.asarray(n_b, INDEX_DTYPE))[order]
+    b_vals = b.data[order]
+    b_rows = jnp.concatenate([b_rows, jnp.full((Eb,), k, INDEX_DTYPE)])
+    b_colw = jnp.concatenate([b_colw, jnp.zeros((Eb,), INDEX_DTYPE)])
+    b_vals = jnp.concatenate([b_vals, jnp.zeros((Eb,), b.dtype)])
+    b_bounds = np.concatenate([[0], np.cumsum(b_counts)])
+    b_off = jnp.asarray(b_bounds[:P], INDEX_DTYPE)
+    b_end_d = jnp.asarray(b_bounds[1:P + 1], INDEX_DTYPE)
+
+    rowc, blockc = _alg3_count(
+        a_off, a_end_d, a_flat, b_off, b_end_d, b_rows, b_colw,
+        m_pad, k, n_b, T, P, Ea, Eb)
+    blockc_h = np.asarray(blockc)  # host sizing readback
+    nnz = int(blockc_h.sum())
+    if nnz == 0:
+        return _empty_csr(m, n, a.dtype)
+    cap_blk = max(_round_up(int(blockc_h.max()), 8), 8)
+    indptr, cols, vals = _alg3_compute(
+        a_off, a_end_d, a_flat, a_val, b_off, b_end_d, b_rows, b_colw,
+        b_vals, jnp.asarray(alpha, a.dtype), m, m_pad, k, n, n_b, T, P,
+        Ea, Eb, cap_blk, nnz, precision)
+    return CSR.from_parts(indptr, cols, vals, (m, n), canonical=True)

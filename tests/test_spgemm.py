@@ -15,6 +15,7 @@ from helpers import assert_csr_equal_structure, make_pair
 ALGS = [0, 1, 2, 3]
 
 
+@pytest.mark.parametrize("impl", ["dense", "esc"])
 @pytest.mark.parametrize("alg", ALGS)
 @pytest.mark.parametrize(
     "shape,da,db",
@@ -23,10 +24,10 @@ ALGS = [0, 1, 2, 3]
      ((100, 100, 100), 0.01, 0.01),
      ((64, 64, 64), 0.5, 0.5)],
 )
-def test_spgemm_scipy_parity(shape, da, db, alg):
+def test_spgemm_scipy_parity(shape, da, db, alg, impl):
     m, k, n = shape
     A, B, As, Bs = make_pair(m, k, n, da, db)
-    C = st.spgemm(A, B, alg=alg, chunk_fraction=0.3)
+    C = st.spgemm(A, B, alg=alg, chunk_fraction=0.3, impl=impl)
     ref = (As @ Bs).tocsr()
     assert_csr_equal_structure(C, ref)
     np.testing.assert_allclose(np.asarray(C.toarray()), ref.toarray(),
@@ -164,18 +165,36 @@ def test_matmul_scalar_rejected():
         A @ 2.0
 
 
-def test_alg3_bitwise_invariant_across_chunk_fractions():
-    """Stronger than the reference: cuSPARSE ALG3's numerical error varies
-    with chunk_fraction (the reference's numerical_error/fraction.py exists
-    to study it); here the doubling-tree reduction is position-relative
-    within each duplicate run, so every chunk_fraction — and alg2 itself —
-    produces bitwise-identical values."""
+def test_alg3_esc_bitwise_invariant_across_chunk_fractions():
+    """Stronger than the reference (ESC engine): cuSPARSE ALG3's numerical
+    error varies with chunk_fraction (the reference's
+    numerical_error/fraction.py exists to study it); the ESC doubling-tree
+    reduction is position-relative within each duplicate run, so every
+    chunk_fraction — and alg2 itself — produces bitwise-identical values.
+    The blocked dense engine matches the reference's weaker contract
+    instead (each (input, cf) deterministic run-to-run; see
+    test_spgemm_rerun_bitwise_deterministic and the alg3 blocked tests)."""
     A, B, _, _ = make_pair(80, 60, 70, 0.15, 0.15)
-    ref_bits = np.asarray(st.spgemm(A, B, alg=2).data).view(np.uint32)
+    ref_bits = np.asarray(
+        st.spgemm(A, B, alg=2, impl="esc").data).view(np.uint32)
     for cf in (0.05, 0.2, 0.5, 1.0):
-        C = st.spgemm(A, B, alg=3, chunk_fraction=cf)
+        C = st.spgemm(A, B, alg=3, chunk_fraction=cf, impl="esc")
         np.testing.assert_array_equal(
             np.asarray(C.data).view(np.uint32), ref_bits)
+
+
+def test_alg3_blocked_chunk_fraction_struct_invariant():
+    """Blocked alg3: structure is exact and values stay within fp32
+    accumulation error across chunk fractions (reference ALG3 contract)."""
+    A, B, As, Bs = make_pair(90, 70, 75, 0.2, 0.2)
+    ref = (As @ Bs).tocsr()
+    ref.sort_indices()
+    for cf in (0.05, 0.3, 1.0):
+        C = st.spgemm(A, B, alg=3, chunk_fraction=cf, impl="dense")
+        np.testing.assert_array_equal(np.asarray(C.indptr), ref.indptr)
+        np.testing.assert_array_equal(np.asarray(C.indices), ref.indices)
+        np.testing.assert_allclose(np.asarray(C.data), ref.data,
+                                   rtol=2e-5, atol=1e-6)
 
 
 def test_spgemm_fixed_canonicalizes_inputs():
