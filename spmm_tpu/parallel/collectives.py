@@ -90,3 +90,185 @@ def psum_dense(x, mesh: Mesh, axis: str):
 
     prog = _cached_program(("psum_dense", mesh, axis), build)
     return prog(x)
+
+
+# ---------------------------------------------------------------------------
+# sparse p2p / collectives over padded components
+#
+# The reference's _SparseNCCLCommunicator (_nccl_comm.py:486-604) moves a
+# sparse matrix as a (shape, sizes) metadata exchange followed by its three
+# component arrays, with sum_duplicates before send and all_reduce =
+# reduce-to-root + bcast.  ICI has no runtime-sized transfers, so here every
+# shard speaks the same wire format — (indptr, indices[cap], data[cap],
+# nnz) padded to a static capacity — and the collectives are shard_map
+# programs over those components.
+# ---------------------------------------------------------------------------
+
+
+def _wire(a: CSR, cap: int):
+    ip, ix, dv, nz = pad_csr(a.sum_duplicates(), cap)
+    return ip, ix, dv, nz
+
+
+def ppermute_csr(parts, mesh: Mesh, axis: str, perm):
+    """Rotate padded CSR components around the mesh axis (the send/recv
+    ring of `_nccl_comm.send`/`recv`).  `parts` = stacked (D, ...) wire
+    components; `perm` = [(src, dst), ...] pairs (static)."""
+
+    perm = tuple((int(s), int(d)) for s, d in perm)
+
+    def build():
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)))
+        def step(ip, ix, dv, nz):
+            return tuple(
+                jax.lax.ppermute(c, axis, perm) for c in (ip, ix, dv, nz))
+
+        return step
+
+    prog = _cached_program_local(("ppermute_csr", mesh, axis, perm), build)
+    return prog(*parts)
+
+
+def broadcast_csr(parts, mesh: Mesh, axis: str, root: int = 0):
+    """Every shard receives the root shard's padded CSR components
+    (`_nccl_comm.broadcast`)."""
+
+    root = int(root)
+
+    def build():
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)))
+        def step(ip, ix, dv, nz):
+            out = []
+            for c in (ip, ix, dv, nz):
+                g = jax.lax.all_gather(c[0], axis)
+                out.append(g[root][None])
+            return tuple(out)
+
+        return step
+
+    prog = _cached_program_local(("bcast_csr", mesh, axis, root), build)
+    return prog(*parts)
+
+
+def all_to_all_csr(parts, mesh: Mesh, axis: str):
+    """Transpose a (D, D, ...) block matrix of padded CSR components across
+    the mesh: shard i sends block j to shard j (`_nccl_comm.all_to_all` —
+    the primitive for exchanging partial product rows in distributed
+    SpGEMM).  `parts` components carry a leading (D_local=D) block dim."""
+
+    def build():
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)))
+        def step(ip, ix, dv, nz):
+            def a2a(c):
+                # local block (1, D, ...) → received pieces land on dim0
+                # (D, 1, ...) → restore the (1, D, ...) block layout
+                r = jax.lax.all_to_all(c, axis, split_axis=1,
+                                       concat_axis=0, tiled=False)
+                return jnp.moveaxis(r, 0, 1)
+
+            return tuple(a2a(c) for c in (ip, ix, dv, nz))
+
+        return step
+
+    prog = _cached_program_local(("a2a_csr", mesh, axis), build)
+    return prog(*parts)
+
+
+def all_reduce_csr(mats, mesh: Mesh, axis: str, cap=None):
+    """Sum one CSR per shard across the mesh axis; every shard receives the
+    canonical sum (`_SparseNCCLCommunicator.all_reduce`, which the
+    reference implements as reduce-to-root + bcast, _nccl_comm.py:598-604).
+
+    `mats`: list of D same-shape CSR matrices (one per shard position).
+    Entries travel in the padded wire format (capacity as the size
+    header); each shard canonicalises the all-gathered union locally with
+    a stable lexsort + fixed-order segment sum — a deterministic,
+    replicated reduction.  Output capacity is D·cap (the worst-case
+    disjoint union); the true summed nnz is read back once.
+    """
+    D = mesh.shape[axis]
+    if len(mats) != D:
+        raise ValueError(f"need one CSR per shard ({D}), got {len(mats)}")
+    shape = mats[0].shape
+    if cap is None:
+        cap = max(max(a.nnz for a in mats), 1)
+    wires = [_wire(a, cap) for a in mats]
+    ip = jnp.stack([w[0] for w in wires])
+    ix = jnp.stack([w[1] for w in wires])
+    dv = jnp.stack([w[2] for w in wires])
+    nz = jnp.stack([w[3] for w in wires])
+    m, n = shape
+    gcap = D * cap
+
+    def build():
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)),
+            check_vma=False)
+        def step(ip_b, ix_b, dv_b, nz_b):
+            gip = jax.lax.all_gather(ip_b[0], axis)   # (D, m+1)
+            gix = jax.lax.all_gather(ix_b[0], axis)   # (D, cap)
+            gdv = jax.lax.all_gather(dv_b[0], axis)
+            gnz = jax.lax.all_gather(nz_b[0], axis)   # (D,)
+            # union of entries; padding slots get row=m so they sort last
+            rows = jax.vmap(
+                lambda ipp: prim.rows_from_indptr(ipp, cap))(gip)
+            valid = (jnp.arange(cap, dtype=INDEX_DTYPE)[None, :]
+                     < gnz[:, None])
+            rows = jnp.where(valid, rows, m).reshape(-1)
+            cols = jnp.where(valid, gix, 0).reshape(-1)
+            vals = jnp.where(valid, gdv, 0).reshape(-1)
+            row_s, col_s, (val_s,) = prim.lexsort_rowcol(
+                rows, cols, (vals,), (m + 1, n))
+            new_g = jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_),
+                 (row_s[1:] != row_s[:-1]) | (col_s[1:] != col_s[:-1])])
+            seg = jnp.cumsum(new_g.astype(INDEX_DTYPE)) - 1
+            summed = jax.ops.segment_sum(val_s, seg, num_segments=gcap,
+                                         indices_are_sorted=True)
+            head = new_g & (row_s < m)
+            nnz_u = jnp.sum(head, dtype=INDEX_DTYPE)
+            first = prim.compact_positions(head, gcap)
+            slot_ok = jnp.arange(gcap, dtype=INDEX_DTYPE) < nnz_u
+            out_rows = jnp.where(slot_ok, row_s[first], m)
+            out_cols = jnp.where(slot_ok, col_s[first], 0)
+            out_vals = jnp.where(slot_ok, summed[seg[first]], 0)
+            indptr = jnp.concatenate(
+                [jnp.zeros((1,), INDEX_DTYPE),
+                 jnp.cumsum(jnp.bincount(
+                     out_rows, length=m + 1).astype(INDEX_DTYPE)[:m],
+                     dtype=INDEX_DTYPE)])
+            return (indptr[None], out_cols[None], out_vals[None],
+                    nnz_u[None])
+
+        return step
+
+    prog = _cached_program_local(
+        ("all_reduce_csr", mesh, axis, cap, shape), build)
+    ip_o, ix_o, dv_o, nz_o = prog(ip, ix, dv, nz)
+    nnz_u = int(nz_o[0])
+    return unpad_csr(ip_o[0], ix_o[0], dv_o[0], nnz_u, shape)
+
+
+def reduce_csr(mats, mesh: Mesh, axis: str, root: int = 0, cap=None):
+    """Sparse reduce-to-root (`_SparseNCCLCommunicator.reduce`): on TPU the
+    replicated all-reduce already leaves the sum on every shard, so the
+    root distinction is nominal — returns the summed CSR (what root
+    holds)."""
+    return all_reduce_csr(mats, mesh, axis, cap)
+
+
+def _cached_program_local(key, builder):
+    from spmm_tpu.parallel.sharded import _cached_program
+
+    return _cached_program(key, builder)

@@ -134,3 +134,103 @@ def test_spgemm_summa_2d():
     ref = (A.to_scipy() @ B.to_scipy()).toarray()
     np.testing.assert_allclose(np.asarray(C), ref, rtol=1e-5, atol=1e-6)
     assert C.sharding.spec == jax.sharding.PartitionSpec("x", "y")
+
+
+def test_sparse_all_reduce(mesh):
+    """CSR summation across shards (`_SparseNCCLCommunicator.all_reduce`,
+    _nccl_comm.py:598-604 — reduce-to-root + bcast semantics)."""
+    D = mesh.shape["rows"]
+    mats = [st.random(30, 25, 0.1, format="csr", random_state=i)
+            for i in range(D)]
+    S = pp.collectives.all_reduce_csr(mats, mesh, "rows")
+    ref = sum((m.to_scipy() for m in mats[1:]), mats[0].to_scipy()).tocsr()
+    ref.sum_duplicates()
+    ref.sort_indices()
+    np.testing.assert_array_equal(np.asarray(S.indptr), ref.indptr)
+    np.testing.assert_array_equal(np.asarray(S.indices), ref.indices)
+    np.testing.assert_allclose(np.asarray(S.data), ref.data, rtol=1e-6)
+
+
+def test_sparse_ppermute_ring_and_broadcast(mesh):
+    """p2p ring + broadcast of padded CSR components
+    (`_nccl_comm.send`/`recv`/`broadcast`)."""
+    D = mesh.shape["rows"]
+    mats = [st.random(20, 22, 0.15, format="csr", random_state=10 + i)
+            for i in range(D)]
+    cap = max(m.nnz for m in mats)
+    wires = [pp.collectives.pad_csr(m, cap) for m in mats]
+    parts = tuple(jnp.stack([w[i] for w in wires]) for i in range(4))
+    perm = [(i, (i + 1) % D) for i in range(D)]
+    out = pp.collectives.ppermute_csr(parts, mesh, "rows", perm)
+    for dst in range(D):
+        src = (dst - 1) % D
+        got = pp.collectives.unpad_csr(
+            out[0][dst], out[1][dst], out[2][dst], int(out[3][dst]),
+            (20, 22))
+        np.testing.assert_array_equal(np.asarray(got.toarray()),
+                                      np.asarray(mats[src].toarray()))
+    outb = pp.collectives.broadcast_csr(parts, mesh, "rows", root=D - 1)
+    got = pp.collectives.unpad_csr(
+        outb[0][0], outb[1][0], outb[2][0], int(outb[3][0]), (20, 22))
+    np.testing.assert_array_equal(np.asarray(got.toarray()),
+                                  np.asarray(mats[D - 1].toarray()))
+
+
+def test_sparse_all_to_all(mesh):
+    """Block exchange (`_nccl_comm.all_to_all`): shard i's block j lands on
+    shard j as block i."""
+    D = mesh.shape["rows"]
+    mats = [[st.random(6, 8, 0.3, format="csr", random_state=i * D + j)
+             for j in range(D)] for i in range(D)]
+    cap = max(m.nnz for row in mats for m in row)
+    wires = [[pp.collectives.pad_csr(m, cap) for m in row] for row in mats]
+    parts = tuple(
+        jnp.stack([jnp.stack([wires[i][j][c] for j in range(D)])
+                   for i in range(D)]) for c in range(4))
+    out = pp.collectives.all_to_all_csr(parts, mesh, "rows")
+    for i in range(D):
+        for j in range(D):
+            got = pp.collectives.unpad_csr(
+                out[0][j][i], out[1][j][i], out[2][j][i],
+                int(out[3][j][i]), (6, 8))
+            np.testing.assert_array_equal(
+                np.asarray(got.toarray()),
+                np.asarray(mats[i][j].toarray()))
+
+
+def test_spgemm_sharded_sparse(mesh):
+    """Sparse-in/sparse-out distributed SpGEMM: C row-sharded, CSR matches
+    SciPy (reference capability: cusparse.py:2007-2142 end-to-end)."""
+    from spmm_tpu.parallel.sharded import (spgemm_sharded_sparse,
+                                           sharded_to_csr)
+
+    A = st.random(96, 80, 0.15, format="csr", random_state=1)
+    B = st.random(80, 72, 0.12, format="csr", random_state=2)
+    C = spgemm_sharded_sparse(pp.shard_csr(A, mesh),
+                              pp.shard_csr(B, mesh), mesh)
+    Cg = sharded_to_csr(C)
+    ref = (A.to_scipy() @ B.to_scipy()).tocsr()
+    ref.sort_indices()
+    np.testing.assert_array_equal(np.asarray(Cg.indptr), ref.indptr)
+    np.testing.assert_array_equal(np.asarray(Cg.indices), ref.indices)
+    np.testing.assert_allclose(np.asarray(Cg.data), ref.data, rtol=2e-5,
+                               atol=1e-6)
+
+
+def test_spgemm_summa_sparse_blocks():
+    from spmm_tpu.parallel.summa import (make_mesh_2d, spgemm_summa_sparse,
+                                         summa_blocks_to_csr)
+
+    if NDEV < 4:
+        pytest.skip("needs 4 devices")
+    mesh2 = make_mesh_2d(NDEV // 2, 2)
+    A = st.random(64, 48, density=0.15, format="csr", random_state=1)
+    B = st.random(48, 40, density=0.2, format="csr", random_state=2)
+    Ash = pp.shard_csr(A, mesh2, axis="x")
+    Bsh = pp.shard_csr(B, mesh2, axis="y")
+    blocks = spgemm_summa_sparse(Ash, Bsh, mesh2)
+    Cs = summa_blocks_to_csr(blocks, (64, 40))
+    ref = (A.to_scipy() @ B.to_scipy()).tocsr()
+    ref.sort_indices()
+    np.testing.assert_allclose(np.asarray(Cs.toarray()), ref.toarray(),
+                               rtol=2e-5, atol=1e-6)
