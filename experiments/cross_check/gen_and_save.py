@@ -20,7 +20,7 @@ def main():
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--density", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=123)
-    p.add_argument("--alg", type=int, default=2, choices=[2, 3])
+    p.add_argument("--alg", type=int, default=2, choices=[1, 2, 3])
     p.add_argument("--chunk-fraction", type=float, default=0.2)
     p.add_argument("--prefix", default="/tmp/spmm_crosscheck")
     args = p.parse_args()
@@ -29,10 +29,13 @@ def main():
                   random_state=args.seed)
     B = st.random(args.size, args.size, args.density, format="csr",
                   random_state=args.seed + 1)
-    # the native binary replays the ESC expansion/doubling-tree bitwise,
-    # so pin the ESC engine regardless of the auto dispatcher
+    # alg 2/3: the native binary replays the ESC expansion/doubling-tree
+    # bitwise, so pin the ESC engine regardless of the auto dispatcher.
+    # alg 1: the dense-intermediate result is checked structurally bitwise
+    # + values to tolerance (native --alg1 mode).
+    impl = "esc" if args.alg in (2, 3) else "auto"
     C = st.spgemm(A, B, alg=args.alg, chunk_fraction=args.chunk_fraction,
-                  impl="esc")
+                  impl=impl)
     io.save_csr_txt(args.prefix + "_A", A)
     io.save_csr_txt(args.prefix + "_B", B)
     io.save_csr_txt(args.prefix + "_C_py", C)

@@ -18,7 +18,7 @@ fi
 
 SIZES=${SIZES:-"32 64 128 256 512"}
 DENSITIES=${DENSITIES:-"0.01 0.1 0.5"}
-ALGS=${ALGS:-"2 3"}
+ALGS=${ALGS:-"1 2 3"}
 SEED=${SEED:-123}
 WORKDIR=$(mktemp -d)
 REPORT=${REPORT:-cross_check_report.txt}
@@ -37,11 +37,18 @@ for alg in $ALGS; do
           --density "$density" --seed "$SEED" --alg "$alg" \
           --prefix "$prefix" || { FAIL=1; continue; }
       echo "[2/3] native recompute"
-      "$CUEXE" "${prefix}_A" "${prefix}_B" "${prefix}_C_cpp" \
-          || { FAIL=1; continue; }
+      if [ "$alg" = "1" ]; then
+        "$CUEXE" "${prefix}_A" "${prefix}_B" "${prefix}_C_cpp" --alg1 \
+            || { FAIL=1; continue; }
+        CMP_ARGS="--values-rtol 1e-5"
+      else
+        "$CUEXE" "${prefix}_A" "${prefix}_B" "${prefix}_C_cpp" \
+            || { FAIL=1; continue; }
+        CMP_ARGS=""
+      fi
       echo "[3/3] compare"
       if python experiments/cross_check/compare_csrs_txt.py \
-          "${prefix}_C_py" "${prefix}_C_cpp"; then
+          "${prefix}_C_py" "${prefix}_C_cpp" $CMP_ARGS; then
         echo "PASS alg=$alg size=$size density=$density" >> "$REPORT"
       else
         echo "FAIL alg=$alg size=$size density=$density" >> "$REPORT"

@@ -16,7 +16,17 @@
 // The chunked alg=3 path partitions by rows, so runs are never split and
 // the same tree applies — alg2 and alg3 agree bitwise with this program.
 //
-// Usage: spgemm_cross_check A_prefix B_prefix C_out_prefix [alpha]
+// ALG1 mode (--alg1): replays the framework's dense-intermediate pipeline
+// at the contract level instead: the STRUCTURE (indptr/indices) comes from
+// an exact integer pattern product (bitwise-comparable — the framework's
+// bf16 0/1 pattern matmul accumulates the same integers exactly in f32),
+// and the VALUES from a double-precision dense accumulation in ascending-k
+// order, compared with a tolerance (the MXU HIGHEST reduction order is
+// hardware-defined, so value equality is numerical, not bitwise) — the
+// treatment VERDICT r1 item 5 specifies, mirroring
+// /root/reference cupy_cusparse/spgemm_from_txt_alg1.cu:168-188.
+//
+// Usage: spgemm_cross_check A_prefix B_prefix C_out_prefix [alpha] [--alg1]
 // File format: <prefix>_{indptr,indices,data}.txt + <prefix>_shape.txt,
 // ints as %d, floats as %.9g (round-trips float32 exactly) — identical to
 // the reference protocol (gen_and_save_alg1_txt.py:8-15).
@@ -117,19 +127,67 @@ static float tree_segment_sum(const float *vals, size_t L) {
   return x[L - 1];
 }
 
+// ALG1 replay: exact integer pattern product + double-precision values.
+static CSR spgemm_alg1_dense(const CSR &a, const CSR &b, float alpha) {
+  const int64_t m = a.m, n = b.n;
+  std::vector<int64_t> counts(n);
+  std::vector<double> acc((size_t)n);
+  CSR c;
+  c.m = m;
+  c.n = n;
+  c.indptr.assign(m + 1, 0);
+  for (int64_t i = 0; i < m; ++i) {
+    std::fill(counts.begin(), counts.end(), 0);
+    std::fill(acc.begin(), acc.end(), 0.0);
+    // ascending k within the row (CSR order) — the fixed contraction order
+    for (int32_t t = a.indptr[i]; t < a.indptr[i + 1]; ++t) {
+      const int32_t k = a.indices[t];
+      const double av = (double)a.data[t];
+      for (int32_t u = b.indptr[k]; u < b.indptr[k + 1]; ++u) {
+        counts[b.indices[u]] += 1;          // exact structural count
+        acc[b.indices[u]] += av * (double)b.data[u];
+      }
+    }
+    for (int64_t j = 0; j < n; ++j) {
+      if (counts[j] > 0) {
+        c.indices.push_back((int32_t)j);
+        c.data.push_back((float)((double)alpha * acc[j]));
+        c.indptr[i + 1]++;
+      }
+    }
+  }
+  for (int64_t r = 0; r < m; ++r) c.indptr[r + 1] += c.indptr[r];
+  return c;
+}
+
 int main(int argc, char **argv) {
   if (argc < 4) {
     std::fprintf(stderr,
-                 "usage: %s A_prefix B_prefix C_out_prefix [alpha]\n",
+                 "usage: %s A_prefix B_prefix C_out_prefix [alpha] "
+                 "[--alg1]\n",
                  argv[0]);
     return 2;
   }
+  bool alg1 = false;
+  for (int i = 4; i < argc; ++i)
+    if (std::strcmp(argv[i], "--alg1") == 0) alg1 = true;
   const CSR a = read_csr(argv[1]);
   const CSR b = read_csr(argv[2]);
-  const float alpha = argc > 4 ? std::strtof(argv[4], nullptr) : 1.0f;
+  const float alpha =
+      (argc > 4 && argv[4][0] != '-') ? std::strtof(argv[4], nullptr)
+                                      : 1.0f;
   if (!validate_csr(a) || !validate_csr(b) || a.n != b.m) {
     std::fprintf(stderr, "invalid inputs\n");
     return 1;
+  }
+  if (alg1) {
+    CSR c = spgemm_alg1_dense(a, b, alpha);
+    write_csr(argv[3], c);
+    std::printf(
+        "spgemm_cross_check[alg1]: %lld x %lld @ %lld x %lld -> nnz %zu\n",
+        (long long)a.m, (long long)a.n, (long long)b.m, (long long)b.n,
+        c.data.size());
+    return 0;
   }
 
   // 1. expand partial products in (A-entry, B-entry) order
