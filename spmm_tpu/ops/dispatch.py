@@ -27,12 +27,42 @@ from spmm_tpu.ops.spmv import spmv as _spmv
 
 
 # Break-even density above which a dense MXU matmul beats sparse paths on
-# TPU, by problem scale.  Seeded from the reference's measured curve
-# (BASELINE.md §break-even: ρ*≈5e-2 @ n=1024 falling toward 1e-2 at n=8192 on
-# GPU); TPU MXU raises the dense advantage so these are intentionally
-# aggressive.  Tune with `spmm_tpu.utils.tuning.calibrate_break_even()`.
+# TPU, by problem scale.  A measured table saved by
+# `spmm_tpu.utils.tuning.calibrate_break_even()` takes precedence (loaded
+# once, lazily); the hardcoded curve is the fallback, seeded from the
+# reference's measured curve (BASELINE.md §break-even: ρ*≈5e-2 @ n=1024
+# falling toward 1e-2 at n=8192 on GPU — the MXU moves it lower).
+_BREAK_EVEN_TABLE = None
+_BREAK_EVEN_LOADED = False
+
+
+def _measured_break_even():
+    global _BREAK_EVEN_TABLE, _BREAK_EVEN_LOADED
+    if not _BREAK_EVEN_LOADED:
+        from spmm_tpu.utils.tuning import load_break_even
+
+        _BREAK_EVEN_TABLE = load_break_even()
+        _BREAK_EVEN_LOADED = True
+    return _BREAK_EVEN_TABLE
+
+
+def reload_break_even():
+    """Drop the cached calibration table (call after re-calibrating)."""
+    global _BREAK_EVEN_LOADED
+    _BREAK_EVEN_LOADED = False
+
+
 def break_even_density(m: int, k: int, n: int) -> float:
     scale = max(m, k, n)
+    table = _measured_break_even()
+    if table:
+        sizes = sorted(table)
+        # use the calibration point at or above this scale (conservative:
+        # larger problems have lower crossovers)
+        for s in sizes:
+            if scale <= s:
+                return float(table[s])
+        return float(table[sizes[-1]])
     if scale <= 2048:
         return 1.0       # small problems: dense always wins on MXU
     if scale <= 8192:

@@ -205,6 +205,11 @@ class CSR(SparseMatrix):
 
         return indexing.csr_getitem(self, key)
 
+    def __setitem__(self, key, value):
+        from spmm_tpu.sparse import indexing
+
+        indexing.csr_setitem(self, key, value)
+
     def diagonal(self, k: int = 0):
         coo = self.tocoo()
         m, n = self._shape

@@ -126,3 +126,32 @@ def test_multiply_dense_broadcast():
     v = np.random.default_rng(2).random(40, dtype=np.float32)
     np.testing.assert_allclose(np.asarray(A.multiply(jnp.asarray(v)).toarray()),
                                As.multiply(v).toarray(), rtol=1e-5)
+
+
+def test_dispatch_honors_measured_break_even(tmp_path, monkeypatch):
+    """A saved calibration table must drive matmul(mode="auto") routing
+    (round-1 VERDICT item 7: the measurement previously fed nothing)."""
+    import json
+
+    from spmm_tpu.ops import dispatch
+    from spmm_tpu.utils import tuning
+
+    path = tmp_path / "be.json"
+    path.write_text(json.dumps({"1024": 0.25, "8192": 0.01}))
+    monkeypatch.setattr(tuning, "_DEFAULT_CACHE", str(path))
+    dispatch.reload_break_even()
+    try:
+        assert dispatch.break_even_density(512, 512, 512) == 0.25
+        assert dispatch.break_even_density(1024, 64, 64) == 0.25
+        assert dispatch.break_even_density(4096, 64, 64) == 0.01
+        assert dispatch.break_even_density(50000, 64, 64) == 0.01
+    finally:
+        dispatch.reload_break_even()
+
+
+def test_load_break_even_missing(tmp_path, monkeypatch):
+    from spmm_tpu.utils import tuning
+
+    monkeypatch.setattr(tuning, "_DEFAULT_CACHE",
+                        str(tmp_path / "none.json"))
+    assert tuning.load_break_even(str(tmp_path / "none.json")) is None
