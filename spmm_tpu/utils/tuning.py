@@ -32,11 +32,16 @@ def _median_ms(fn, args=(), runs: int = 5, batch: int = 5) -> float:
     return statistics.median(meds)
 
 
-def _scan_ms(body_fn, init, k: int = 50, reps: int = 5,
+def _scan_ms(body_fn, init, consts=(), k: int = 50, reps: int = 5,
              call_overhead: Optional[float] = None) -> float:
     """Device time per iteration: K data-chained iterations inside one
     program, minus the measured per-call overhead (the dev relay charges
-    ~30 ms per program call — see bench.py)."""
+    ~30 ms per program call — see bench.py).
+
+    Pass large operands via `consts`, NOT as closures: closure arrays are
+    embedded in the serialized program, which the relay's compile endpoint
+    rejects above a size limit (HTTP 413 at 8192² dense).
+    """
     import statistics
 
     from jax import lax
@@ -45,17 +50,17 @@ def _scan_ms(body_fn, init, k: int = 50, reps: int = 5,
         call_overhead = _measure_call_overhead(k, reps)
 
     @jax.jit
-    def loop(x0):
+    def loop(x0, *cs):
         def body(c, _):
-            return body_fn(c), ()
+            return body_fn(c, *cs), ()
         cf, _ = lax.scan(body, x0, None, length=k)
         return cf
 
-    jax.block_until_ready(loop(init))
+    jax.block_until_ready(loop(init, *consts))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(loop(init))
+        jax.block_until_ready(loop(init, *consts))
         ts.append((time.perf_counter() - t0) * 1e3)
     return (statistics.median(ts) - call_overhead) / k
 
@@ -111,18 +116,19 @@ def calibrate_break_even(sizes: Sequence[int] = (1024, 2048, 4096, 8192),
             ad = A.toarray()
             alpha = jnp.float32(1.0)
 
-            def sparse_body(x):
-                y = _csr_spmm(A.indptr, A.indices, A.data, x, alpha)
+            def sparse_body(x, ip, ix, dv):
+                y = _csr_spmm(ip, ix, dv, x, alpha)
                 return x + 0.0 * y
 
-            def dense_body(x):
-                y = jnp.dot(ad * (1 + 0 * x[0, 0]), x,
+            def dense_body(x, admat):
+                y = jnp.dot(admat, x,
                             precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32)
                 return x + 0.0 * y
 
-            t_sparse = _scan_ms(sparse_body, B)
-            t_dense = _scan_ms(dense_body, B)
+            t_sparse = _scan_ms(sparse_body, B,
+                                (A.indptr, A.indices, A.data))
+            t_dense = _scan_ms(dense_body, B, (ad,))
             if verbose:
                 print(f"n={size} d={density}: sparse {t_sparse:.3f} ms "
                       f"dense {t_dense:.3f} ms")
