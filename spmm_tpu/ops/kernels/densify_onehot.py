@@ -103,6 +103,12 @@ def densify_onehot_plan(indptr_host, m: int, k: int,
         return None
     if (m + w) * k_pad * 6 > _VMEM_OUT_BUDGET:
         return None
+    # scoped-stack estimate for the U-way unrolled body: per sub-chunk the
+    # live bf16 temporaries are EQᵀ (CH, W·KQ), R (CH, 128) and the three
+    # masked value operands (CH, 128); Mosaic keeps all U alive (measured
+    # 17.7 MB at 512²/0.5).  Reject plans past the raised 64 MB limit.
+    if unroll * ch * (w * kq + 4 * 128) * 2 > 56 * 2**20:
+        return None
     return (tuple(int(x) for x in r0), w, ch, unroll)
 
 
@@ -209,6 +215,10 @@ def densify_onehot(indptr, indices, data, m: int, k: int, plan,
             jax.ShapeDtypeStruct((m_pad * KQ, 128), jnp.float32),
             jax.ShapeDtypeStruct((m_pad * KQ, 128), jnp.bfloat16),
         ],
+        # the U-way unrolled body's one-hot temporaries can exceed the
+        # default 16 MB scoped-VMEM stack at dense configs (observed at
+        # 512²/0.5: 17.7 MB); v5e has 128 MB of VMEM — raise the limit
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(r0s, wqb, collo, hi, mid, lo)
     val = out.reshape(m_pad, k_pad)[:m, :k]

@@ -220,22 +220,23 @@ def _extract_shift(c, mask, cap: int, g_pad: int, m: int, n: int):
     mk = m * n
     flat_mask = mask.ravel()
     # hole prefix via triangular MXU matmuls — XLA's cumsum costs log-depth
-    # full-array passes at this size (see _primitives.cumsum01_tri)
-    hole_cum = prim.cumsum01_tri(~flat_mask)
+    # full-array passes at this size (see _primitives.cumsum01_tri).  The
+    # mask is folded into the prefix (holes carry -1) and narrowed to i16:
+    # the select chain is HBM-bound, so per-pass bytes matter.
+    hole_cum = prim.cumsum01_tri(~flat_mask).astype(jnp.int16)
+    h2 = jnp.where(flat_mask, hole_cum, jnp.int16(-1))
     # pad so static slices [j : j+cap] stay in range for j ≤ g_pad
     cflat = jnp.concatenate([c.ravel(), jnp.zeros((g_pad,), c.dtype)])
-    mpad = jnp.concatenate(
-        [flat_mask, jnp.zeros((g_pad,), jnp.bool_)])
     hpad = jnp.concatenate(
-        [hole_cum, jnp.full((g_pad,), -1, INDEX_DTYPE)])
+        [h2, jnp.full((g_pad,), -1, jnp.int16)])
     out = jnp.zeros((cap,), c.dtype)
-    jmap = jnp.zeros((cap,), INDEX_DTYPE)
+    jmap = jnp.zeros((cap,), jnp.int16)
     for j in range(g_pad + 1):
-        cond = mpad[j:j + cap] & (hpad[j:j + cap] == j)
+        cond = hpad[j:j + cap] == jnp.int16(j)
         out = jnp.where(cond, cflat[j:j + cap], out)
-        jmap = jnp.where(cond, j, jmap)
+        jmap = jnp.where(cond, jnp.int16(j), jmap)
     t = jnp.arange(cap, dtype=INDEX_DTYPE)
-    col = (t + jmap) % jnp.asarray(n, INDEX_DTYPE)
+    col = (t + jmap.astype(INDEX_DTYPE)) % jnp.asarray(n, INDEX_DTYPE)
     lens = jnp.sum(mask, axis=1, dtype=INDEX_DTYPE)
     indptr = jnp.concatenate(
         [jnp.zeros((1,), INDEX_DTYPE), jnp.cumsum(lens, dtype=INDEX_DTYPE)])
@@ -259,10 +260,10 @@ def _extract_sort(c, mask, cap: int, m: int, n: int):
 
 
 def _bucket_holes(g: int) -> int:
-    b = 1
-    while b < g:
-        b *= 2
-    return b
+    # granularity 8: the select chain costs one HBM pass per shift, so
+    # tight buckets beat pow2 (g=33 → 40 passes, not 64); recompile
+    # granularity stays bounded
+    return max(8, -(-g // 8) * 8)
 
 
 def _dense_extract(c, mask, nnz: int, m: int):
