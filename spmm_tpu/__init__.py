@@ -37,6 +37,8 @@ from spmm_tpu.sparse import (  # noqa: F401
 from spmm_tpu.ops import (  # noqa: F401
     spgemm,
     spgemm_fixed,
+    spgemm_plan,
+    SpgemmPlan,
     spgemm_nnz_estimate,
     spmm,
     spmv,
@@ -65,6 +67,8 @@ __all__ = [
     "vstack",
     "spgemm",
     "spgemm_fixed",
+    "spgemm_plan",
+    "SpgemmPlan",
     "spgemm_nnz_estimate",
     "spmm",
     "spmv",

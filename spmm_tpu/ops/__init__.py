@@ -12,6 +12,7 @@ from spmm_tpu.ops.availability import (  # noqa: F401
     has_fast_path,
 )
 from spmm_tpu.ops.spgemm import spgemm_fixed  # noqa: F401
+from spmm_tpu.ops.serving import spgemm_plan, SpgemmPlan  # noqa: F401
 from spmm_tpu.ops import elementwise  # noqa: F401
 
 __all__ = [
@@ -19,6 +20,9 @@ __all__ = [
     "spmm",
     "spgemm",
     "spgemm_nnz_estimate",
+    "spgemm_fixed",
+    "spgemm_plan",
+    "SpgemmPlan",
     "sddmm",
     "matmul",
     "break_even_density",

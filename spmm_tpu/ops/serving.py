@@ -1,0 +1,250 @@
+"""Fixed-structure SpGEMM serving plans (preprocess once, execute many).
+
+The TPU-native analogue of cuSPARSE's reuse pattern — the reference's
+`spgemm` sizes descriptors/work buffers in workEstimation/compute stages
+and reuses them across calls with the same sparsity structure
+(/root/reference modify_src/cupy-src/cupyx/cusparse.py:2007-2142).  Here
+the whole structure of C = A @ B is *static* given the structures of A
+and B, so preprocessing precomputes on the host:
+
+  * routed-expansion plans for A and B (kernels/route.expand_route_plan):
+    CSR values -> dense operands, two static lane-gathers per tile, no
+    scatter and no explicit-zero marker games;
+  * the exact output structure (indptr/indices) via a host structural
+    product, and the routed-compression plan (compress_route_plan):
+    dense product -> output values in CSR order, again two lane-gathers;
+  * nothing else: the per-call program is densify + one MXU matmul +
+    extract, all with static shapes, zero host syncs.
+
+Per call only the *values* of A and B change.  The executed pipeline
+reproduces `spgemm(alg=1)` exactly in structure and movement: identical
+dense operands (bitwise), identical HIGHEST-precision matmul, identical
+extraction order.  Values are bitwise-deterministic call-to-call and
+across plan rebuilds; versus `spgemm(alg=1)` they agree to <= ~6 ulp
+(measured 1024^2/0.1 on v5e) because XLA — compiled with
+--xla_allow_excess_precision — may schedule the HIGHEST split matmul
+differently in different programs.  The structure arrays are computed
+once and shared by every output.
+
+When a routing plan does not apply (padding/VMEM gates, ultra-sparse
+pathologies — see route.py), the plan transparently falls back to XLA
+scatter densification and a static-index gather extraction; the API and
+the results are unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from spmm_tpu.ops.kernels.route import (
+    ExpandPlan, CompressPlan,
+    expand_route_plan, compress_route_plan,
+    _expand_call, _compress_call)
+
+INDEX_DTYPE = jnp.int32
+
+
+class _ExpandMeta(NamedTuple):
+    B: int
+    S_SRC: int
+    U: int
+    NBLK: int
+    NV: int
+
+
+class _CompressMeta(NamedTuple):
+    B: int
+    S_D: int
+    U: int
+    NBLK: int
+    RT_PAD: int
+
+
+class _ServeMeta(NamedTuple):
+    """Hashable static description of the serving program."""
+    m: int
+    k: int
+    n: int
+    cap: int
+    precision: str
+    pa: Optional[_ExpandMeta]
+    pb: Optional[_ExpandMeta]
+    pc: Optional[_CompressMeta]
+    interpret: bool
+
+
+def _structural_product(a, b) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host structural product: (indptr, indices, flat_positions) of the
+    pattern of A @ B (counts > 0, explicit zeros structural — exactly the
+    alg1 mask semantics, spgemm.py:_alg1_dense_compute)."""
+    m, k = a.shape
+    n = b.shape[1]
+    ai = np.asarray(a.indptr)
+    aj = np.asarray(a.indices)
+    bi = np.asarray(b.indptr)
+    bj = np.asarray(b.indices)
+    try:
+        import scipy.sparse as sp
+
+        Pa = sp.csr_matrix(
+            (np.ones(aj.shape[0], np.float64), aj, ai), shape=(m, k))
+        Pb = sp.csr_matrix(
+            (np.ones(bj.shape[0], np.float64), bj, bi), shape=(k, n))
+        C = (Pa @ Pb).tocsr()
+        C.sort_indices()
+        rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(C.indptr))
+        flat = rows * n + C.indices.astype(np.int64)
+        return (C.indptr.astype(np.int32), C.indices.astype(np.int32),
+                flat)
+    except ImportError:
+        da = np.zeros((m, k), np.float32)
+        db = np.zeros((k, n), np.float32)
+        rows_a = np.repeat(np.arange(m), np.diff(ai))
+        rows_b = np.repeat(np.arange(k), np.diff(bi))
+        da[rows_a, aj] = 1.0
+        db[rows_b, bj] = 1.0
+        mask = (da @ db) > 0
+        flat = np.flatnonzero(mask.ravel()).astype(np.int64)
+        lens = np.bincount(flat // n, minlength=m)
+        indptr = np.zeros((m + 1,), np.int32)
+        np.cumsum(lens, out=indptr[1:])
+        return indptr, (flat % n).astype(np.int32), flat
+
+
+def _expand_args(p: Optional[ExpandPlan], indptr, indices, m, k):
+    """(meta, arrays) for one operand: routed plan or scatter fallback."""
+    if p is not None:
+        return (_ExpandMeta(p.B, p.S_SRC, p.U, p.NBLK, p.NV),
+                (p.rows0, p.pkA, p.pkB))
+    rows = np.repeat(np.arange(m, dtype=np.int64),
+                     np.diff(np.asarray(indptr)))
+    flat = rows * k + np.asarray(indices).astype(np.int64)
+    return None, (jnp.asarray(flat.astype(np.int32)),)
+
+
+@functools.partial(jax.jit, static_argnames=("meta",))
+def _serve(a_vals, b_vals, alpha, pa_arr, pb_arr, pc_arr, meta: _ServeMeta):
+    m, k, n = meta.m, meta.k, meta.n
+
+    def dens(vals, pm, arr, rows, cols):
+        if pm is not None:
+            return _expand_call(vals, *arr, rows, cols, *pm,
+                                emit_pattern=False,
+                                interpret=meta.interpret)
+        return (jnp.zeros((rows * cols,), vals.dtype)
+                .at[arr[0]].set(vals, indices_are_sorted=True,
+                                unique_indices=True)
+                .reshape(rows, cols).astype(jnp.float32))
+
+    ad = dens(a_vals.astype(jnp.float32), meta.pa, pa_arr, m, k)
+    bd = dens(b_vals.astype(jnp.float32), meta.pb, pb_arr, k, n)
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[meta.precision]
+    c = alpha * jnp.dot(ad, bd, preferred_element_type=jnp.float32,
+                        precision=prec)
+    if meta.pc is not None:
+        return _compress_call(c, *pc_arr, *meta.pc, meta.cap,
+                              meta.interpret)
+    return jnp.take(c.reshape(m * n), pc_arr[0])
+
+
+class SpgemmPlan:
+    """Preprocessed fixed-structure SpGEMM: C = alpha * A @ B where the
+    sparsity structures of A and B are frozen at plan time and only the
+    values change per call.  Build with `spgemm_plan(a, b)`; call with new
+    value arrays.  The output structure (indptr/indices/nnz) is a plan
+    constant; every call returns a CSR sharing those arrays."""
+
+    def __init__(self, a, b, precision: str = "highest",
+                 use_routed: Optional[bool] = None,
+                 interpret: bool = False):
+        from spmm_tpu.sparse.csr import CSR  # noqa: F401 (type anchor)
+
+        if use_routed is None:
+            # routed Pallas movement on real TPUs (or under interpret for
+            # tests); scatter/gather fallback elsewhere — same gate as
+            # alg1_onehot_plans
+            use_routed = interpret or jax.default_backend() == "tpu"
+        a = a.sum_duplicates()
+        b = b.sum_duplicates()
+        m, k = a.shape
+        n = b.shape[1]
+        self.shape = (m, n)
+        self.dtype = a.data.dtype
+        self.nnz_a = int(a.nnz)
+        self.nnz_b = int(b.nnz)
+
+        indptr_h, indices_h, flat = _structural_product(a, b)
+        self.nnz = int(flat.size)
+        self.indptr = jnp.asarray(indptr_h)
+        self.indices = jnp.asarray(indices_h)
+
+        pa = pb = pc = None
+        if use_routed:
+            pa = expand_route_plan(np.asarray(a.indptr),
+                                   np.asarray(a.indices), m, k)
+            pb = expand_route_plan(np.asarray(b.indptr),
+                                   np.asarray(b.indices), k, n)
+            if self.nnz:
+                mask = np.zeros((m * n,), bool)
+                mask[flat] = True
+                pc = compress_route_plan(mask.reshape(m, n), n)
+
+        pa_meta, self._pa_arr = _expand_args(pa, a.indptr, a.indices, m, k)
+        pb_meta, self._pb_arr = _expand_args(pb, b.indptr, b.indices, k, n)
+        if pc is not None:
+            pc_meta = _CompressMeta(pc.B, pc.S_D, pc.U, pc.NBLK, pc.RT_PAD)
+            self._pc_arr = (pc.rows0, pc.pkA, pc.pkB)
+        else:
+            pc_meta = None
+            self._pc_arr = (jnp.asarray(flat.astype(np.int32)),)
+        self._meta = _ServeMeta(m, k, n, self.nnz, precision,
+                                pa_meta, pb_meta, pc_meta, interpret)
+        self.routed = (pa is not None, pb is not None, pc is not None)
+
+    def __call__(self, a_data, b_data, alpha=1.0):
+        from spmm_tpu.sparse.csr import CSR
+
+        if a_data.shape[0] != self.nnz_a or b_data.shape[0] != self.nnz_b:
+            raise ValueError(
+                f"value array sizes {a_data.shape[0]}/{b_data.shape[0]} do "
+                f"not match the planned structures "
+                f"{self.nnz_a}/{self.nnz_b}")
+        vals = _serve(a_data, b_data,
+                      jnp.asarray(alpha, jnp.float32),
+                      self._pa_arr, self._pb_arr, self._pc_arr, self._meta)
+        return CSR.from_parts(self.indptr, self.indices,
+                              vals.astype(self.dtype), self.shape,
+                              canonical=True)
+
+    def values(self, a_data, b_data, alpha=1.0):
+        """Just the output value array (CSR order) — the minimal per-call
+        product for pipelines that keep the static structure elsewhere."""
+        return _serve(a_data, b_data, jnp.asarray(alpha, jnp.float32),
+                      self._pa_arr, self._pb_arr, self._pc_arr, self._meta)
+
+
+def spgemm_plan(a, b, precision: str = "highest",
+                use_routed: Optional[bool] = None,
+                interpret: bool = False) -> SpgemmPlan:
+    """Preprocess the fixed-structure SpGEMM `C = alpha * A @ B`.
+
+    Returns a `SpgemmPlan`; call it with per-step value arrays (or the
+    same matrices' `.data`).  Mirrors the reference's staged reuse
+    (cusparse.py workEstimation/compute stages cached across calls) but
+    with the entire structure resolved at plan time on the host.
+    """
+    from spmm_tpu.sparse.csr import CSR
+
+    if not isinstance(a, CSR) or not isinstance(b, CSR):
+        raise TypeError("spgemm_plan expects CSR matrices")
+    if a.shape[1] != b.shape[0]:
+        raise ValueError(f"dimension mismatch: {a.shape} @ {b.shape}")
+    return SpgemmPlan(a, b, precision, use_routed, interpret)
