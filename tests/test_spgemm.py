@@ -270,3 +270,54 @@ def test_spgemm_fixed_loose_cap_consistent():
     ref = (As @ Bs).tocsr()
     np.testing.assert_allclose(np.asarray(C.toarray()), ref.toarray(),
                                rtol=2e-5, atol=1e-6)
+
+
+def test_expand_joined_bitwise_matches_gather_expand():
+    """The gather-free sort-join expansion (_expand_joined) must reproduce
+    the two-gather _expand pipeline bitwise: same sorted triplets, same
+    duplicate order (ascending k), hence identical reduction results."""
+    import importlib
+
+    sg = importlib.import_module('spmm_tpu.ops.spgemm')
+
+    for seed, (m, k, n), dens in [(0, (64, 48, 80), 0.15),
+                                  (1, (128, 128, 128), 0.05),
+                                  (2, (33, 97, 51), 0.3)]:
+        A = st.random(m, k, dens, format="csr", random_state=seed)
+        B = st.random(k, n, dens, format="csr", random_state=seed + 100)
+        counts, ends = sg._work_estimation(A.indices, B.indptr)
+        P = int(ends[-1])
+        if P == 0:
+            continue
+        out_j = sg._esc_expand_sort_count(
+            A.rows, A.indices, A.data, B.indptr, B.indices, B.data,
+            counts, ends, P, m, n, k, True)
+        out_g = sg._esc_expand_sort_count(
+            A.rows, A.indices, A.data, B.indptr, B.indices, B.data,
+            counts, ends, P, m, n, k, False)
+        for x, y in zip(out_j, out_g):
+            xb = np.asarray(x)
+            yb = np.asarray(y)
+            assert xb.dtype == yb.dtype
+            assert np.array_equal(xb.view(np.uint32), yb.view(np.uint32))
+
+
+def test_alg2_esc_joined_scipy_parity():
+    from scipy import sparse as sp
+
+    import importlib
+
+    sg = importlib.import_module('spmm_tpu.ops.spgemm')
+
+    A = st.random(100, 80, 0.2, format="csr", random_state=11)
+    B = st.random(80, 120, 0.2, format="csr", random_state=12)
+    C = sg._spgemm_alg2_esc(A, B, 1.0, joined=True)
+    As = sp.csr_matrix((np.asarray(A.data), np.asarray(A.indices),
+                        np.asarray(A.indptr)), shape=A.shape)
+    Bs = sp.csr_matrix((np.asarray(B.data), np.asarray(B.indices),
+                        np.asarray(B.indptr)), shape=B.shape)
+    Cs = (As @ Bs).tocsr()
+    Cs.sort_indices()
+    np.testing.assert_array_equal(np.asarray(C.indptr), Cs.indptr)
+    np.testing.assert_array_equal(np.asarray(C.indices), Cs.indices)
+    np.testing.assert_allclose(np.asarray(C.data), Cs.data, rtol=1e-6)
