@@ -456,12 +456,14 @@ def _compress(row_s, col_s, val_s, alpha, nnz_c: int, m: int):
 def _esc_expand_sort_count(a_rows, a_indices, a_data,
                            b_indptr, b_indices, b_data,
                            counts, ends, P: int, m: int, n: int,
-                           k: int = 0, joined: bool = True):
+                           k: int = 0, joined: bool = False):
     """Fused ESC numeric front half: expand all P partial products,
     stable-lexsort by (row, col), count unique pairs — one device program
     between the two host sizing readbacks.  `joined=True` uses the
-    gather-free `_expand_joined` (bitwise-identical output); False keeps
-    the two-B-side-gather `_expand` for cross-checking."""
+    gather-free `_expand_joined` (bitwise-identical output); measured on
+    v5e it LOSES to the two-gather `_expand` (90 vs 49 ms at n=1024
+    ρ=0.1, P=10.7M): the extra P-sized 3-operand stable sort costs more
+    than the two B-side gathers it removes, so gather stays the default."""
     if joined:
         row, col, val = _expand_joined(
             a_rows, a_indices, a_data, b_indptr, b_indices, b_data,
@@ -475,7 +477,7 @@ def _esc_expand_sort_count(a_rows, a_indices, a_data,
     return row_s, col_s, val_s, nnz_c
 
 
-def _spgemm_alg2_esc(a, b, alpha, joined: bool = True):
+def _spgemm_alg2_esc(a, b, alpha, joined: bool = False):
     from spmm_tpu.sparse.csr import CSR
 
     m, k = a.shape
