@@ -65,6 +65,13 @@ _TINY = float(np.finfo(np.float32).tiny)
 # _extract_shift); beyond it the sort-based path takes over.
 _SHIFT_EXTRACT_MAX_HOLES = 128
 
+# The Pallas rolled extraction (kernels/extract_roll) streams the dense
+# product once and pays ~one VMEM pass per hole beyond that, so it covers
+# a far wider hole range than the select chain (which pays one full HBM
+# pass per hole).  Crossover vs the sort path is around a few thousand
+# holes at 1M elements.
+_EXTRACT_ROLL_MAX_HOLES = 1024
+
 
 def _densify_flat(indptr, indices, vals, m: int, k: int, split=None):
     """Flat scatter(s) of per-entry `vals` into a dense (m, k) array.
@@ -268,12 +275,19 @@ def _bucket_holes(g: int) -> int:
 
 def _dense_extract(c, mask, nnz: int, m: int):
     """Dispatch extraction by hole count (kept for API compatibility)."""
+    from spmm_tpu.ops.kernels.extract_roll import (extract_roll,
+                                                   extract_roll_applies)
+
     n = c.shape[1]
     g = m * n - nnz
     if g == 0:
         return _extract_full(c, mask, m, n)
+    g_pad = _bucket_holes(g)
+    if (g <= _EXTRACT_ROLL_MAX_HOLES
+            and extract_roll_applies(nnz, g_pad, c.dtype)):
+        return extract_roll(c, mask, nnz, g_pad, m, n)
     if g <= _SHIFT_EXTRACT_MAX_HOLES:
-        return _extract_shift(c, mask, nnz, _bucket_holes(g), m, n)
+        return _extract_shift(c, mask, nnz, g_pad, m, n)
     return _extract_sort(c, mask, nnz, m, n)
 
 
@@ -790,10 +804,17 @@ def _alg1_fixed(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
     # The full/shift fast paths infer the hole count from cap and are only
     # valid when cap equals the exact output nnz (exact_cap); a merely
     # sufficient capacity uses the general sort-compaction.
+    from spmm_tpu.ops.kernels.extract_roll import (extract_roll,
+                                                   extract_roll_applies)
+
     cap_eff = min(cap, m * n)
     g = m * n - cap_eff
     if exact_cap and g == 0:
         indptr, col, data = _extract_full(c, mask, m, n)
+    elif (exact_cap and g <= _EXTRACT_ROLL_MAX_HOLES
+            and extract_roll_applies(cap_eff, _bucket_holes(g), c.dtype)):
+        indptr, col, data = extract_roll(c, mask, cap_eff,
+                                         _bucket_holes(g), m, n)
     elif exact_cap and g <= _SHIFT_EXTRACT_MAX_HOLES:
         indptr, col, data = _extract_shift(c, mask, cap_eff,
                                            _bucket_holes(g), m, n)
