@@ -42,6 +42,7 @@ from spmm_tpu.ops import (  # noqa: F401
     spgemm_nnz_estimate,
     spmm,
     spmv,
+    spmv_plan,
     matmul,
     sddmm,
 )
@@ -72,6 +73,7 @@ __all__ = [
     "spgemm_nnz_estimate",
     "spmm",
     "spmv",
+    "spmv_plan",
     "matmul",
     "sddmm",
 ]

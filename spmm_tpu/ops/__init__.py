@@ -2,7 +2,7 @@
 SDDMM wrappers, element-wise ops, dispatch, and shared static-shape
 primitives."""
 
-from spmm_tpu.ops.spmv import spmv  # noqa: F401
+from spmm_tpu.ops.spmv import spmv, spmv_plan  # noqa: F401
 from spmm_tpu.ops.spmm import spmm  # noqa: F401
 from spmm_tpu.ops.spgemm import spgemm, spgemm_nnz_estimate  # noqa: F401
 from spmm_tpu.ops.sddmm import sddmm  # noqa: F401
@@ -17,6 +17,7 @@ from spmm_tpu.ops import elementwise  # noqa: F401
 
 __all__ = [
     "spmv",
+    "spmv_plan",
     "spmm",
     "spgemm",
     "spgemm_nnz_estimate",

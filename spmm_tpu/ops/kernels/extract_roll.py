@@ -48,13 +48,19 @@ def _round_up(x: int, m: int) -> int:
 
 def extract_roll_applies(cap: int, g_pad: int, dtype) -> bool:
     """Static applicability: f32 on TPU, with the no-wrap plan constraint
-    g < B*128 for the B the plan would choose."""
+    g < B*128 for the B the plan would choose.  Small outputs stay on
+    the select chain when it can handle them — measured on v5e the roll
+    kernel's per-tile fixed cost loses below ~0.5M elements (33 vs 2 us
+    at 512^2/g=100) while at 1024^2 it wins (0 vs 75 us at g=33,
+    0.61 vs 2.9 ms at g=513)."""
     if dtype != jnp.float32:
         return False
     if jax.default_backend() != "tpu":
         return False
     B = _pick_b(cap)
-    return g_pad < B * 128
+    if g_pad >= B * 128:
+        return False
+    return cap >= (1 << 19) or g_pad > 128
 
 
 def _pick_b(cap: int) -> int:
