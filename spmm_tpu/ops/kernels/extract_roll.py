@@ -48,11 +48,12 @@ def _round_up(x: int, m: int) -> int:
 
 def extract_roll_applies(cap: int, g_pad: int, dtype) -> bool:
     """Static applicability: f32 on TPU, with the no-wrap plan constraint
-    g < B*128 for the B the plan would choose.  Small outputs stay on
-    the select chain when it can handle them — measured on v5e the roll
-    kernel's per-tile fixed cost loses below ~0.5M elements (33 vs 2 us
-    at 512^2/g=100) while at 1024^2 it wins (0 vs 75 us at g=33,
-    0.61 vs 2.9 ms at g=513)."""
+    g < B*128 for the B the plan would choose.  The select chain keeps
+    small-g and small-output cases: measured IN-PIPELINE on v5e
+    (alg1_fixed at 1024^2/0.1), roll loses at g=33 (0.74 vs 0.62
+    ms/multiply — the standalone g=33 win was a DCE artifact) and wins
+    standalone at g=513 (0.61 vs 2.9 ms); at 512^2/g=100 it loses
+    (33 vs 2 us).  So: large outputs AND enough holes only."""
     if dtype != jnp.float32:
         return False
     if jax.default_backend() != "tpu":
@@ -60,7 +61,7 @@ def extract_roll_applies(cap: int, g_pad: int, dtype) -> bool:
     B = _pick_b(cap)
     if g_pad >= B * 128:
         return False
-    return cap >= (1 << 19) or g_pad > 128
+    return cap >= (1 << 19) and g_pad > 128
 
 
 def _pick_b(cap: int) -> int:

@@ -72,19 +72,55 @@ _PREC = {"highest": lax.Precision.HIGHEST,
          "default": lax.Precision.DEFAULT}
 
 
+def _densify_pair(indptr, indices, data, m: int, k: int, plan):
+    """Dense values + bf16 pattern: Pallas one-hot kernel when a static
+    plan is supplied (4x the two XLA scatters, bitwise-identical dense),
+    scatter otherwise."""
+    if plan is not None:
+        from spmm_tpu.ops.kernels.densify_onehot import densify_onehot
+
+        return densify_onehot(indptr, indices, data, m, k, plan)
+    vd = _value_dense(indptr, indices, data, m, k)
+    pat = _pattern_dense(indptr, indices, indices.shape[0], m, k)
+    return vd, pat
+
+
+def _onehot_plans_padded(a_indptr_h, b_indptr_h, m_pad: int, k: int,
+                         n: int, dtype):
+    """Static densify plans for the blocked engines (padded row count),
+    TPU + f32 only; (None, None) when the kernel does not apply."""
+    if jax.default_backend() != "tpu" or jnp.dtype(dtype) != jnp.float32:
+        return (None, None)
+    from spmm_tpu.ops.kernels.densify_onehot import densify_onehot_plan
+
+    if m_pad > a_indptr_h.shape[0] - 1:
+        a_indptr_h = np.concatenate(
+            [a_indptr_h,
+             np.full((m_pad - (a_indptr_h.shape[0] - 1),),
+                     a_indptr_h[-1], a_indptr_h.dtype)])
+    pa = densify_onehot_plan(a_indptr_h, m_pad, k)
+    pb = densify_onehot_plan(b_indptr_h, k, n)
+    if pa is None or pb is None:
+        return (None, None)
+    return (pa, pb)
+
+
 # ===========================================================================
 # ALG2 — row-tile streamed, A/B dense once
 # ===========================================================================
 
 
-@functools.partial(jax.jit, static_argnames=("m_pad", "k", "n", "T"))
-def _alg2_count(a_indptr, a_indices, b_indptr, b_indices,
-                m_pad: int, k: int, n: int, T: int):
+@functools.partial(jax.jit,
+                   static_argnames=("m_pad", "k", "n", "T", "oh_plans"))
+def _alg2_count(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
+                m_pad: int, k: int, n: int, T: int,
+                oh_plans=(None, None)):
     """Sizing pass (the workEstimation analogue): per-row and per-tile
     structural output counts from one pattern-matmul sweep."""
-    a_pat = _pattern_dense(a_indptr, a_indices, a_indices.shape[0],
-                           m_pad, k)
-    b_pat = _pattern_dense(b_indptr, b_indices, b_indices.shape[0], k, n)
+    _, a_pat = _densify_pair(a_indptr, a_indices, a_data, m_pad, k,
+                             oh_plans[0])
+    _, b_pat = _densify_pair(b_indptr, b_indices, b_data, k, n,
+                             oh_plans[1])
 
     def tile_body(_, t):
         ap = lax.dynamic_slice(a_pat, (t * TILE, 0), (TILE, k))
@@ -101,15 +137,15 @@ def _alg2_count(a_indptr, a_indices, b_indptr, b_indices,
 @functools.partial(
     jax.jit,
     static_argnames=("m", "m_pad", "k", "n", "T", "cap_tile", "nnz",
-                     "precision"))
+                     "precision", "oh_plans"))
 def _alg2_compute(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
                   alpha, m: int, m_pad: int, k: int, n: int, T: int,
-                  cap_tile: int, nnz: int, precision: str):
-    ad = _value_dense(a_indptr, a_indices, a_data, m_pad, k)
-    bd = _value_dense(b_indptr, b_indices, b_data, k, n)
-    a_pat = _pattern_dense(a_indptr, a_indices, a_indices.shape[0],
-                           m_pad, k)
-    b_pat = _pattern_dense(b_indptr, b_indices, b_indices.shape[0], k, n)
+                  cap_tile: int, nnz: int, precision: str,
+                  oh_plans=(None, None)):
+    ad, a_pat = _densify_pair(a_indptr, a_indices, a_data, m_pad, k,
+                              oh_plans[0])
+    bd, b_pat = _densify_pair(b_indptr, b_indices, b_data, k, n,
+                              oh_plans[1])
     prec = _PREC[precision]
 
     def tile_body(_, t):
@@ -167,8 +203,12 @@ def spgemm_alg2_blocked(a, b, alpha, precision: str = "highest",
     if m_pad != m:
         a_indptr = jnp.concatenate(
             [a_indptr, jnp.full((m_pad - m,), a.indptr[-1], INDEX_DTYPE)])
-    rowc, tilec = _alg2_count(a_indptr, a.indices, b.indptr, b.indices,
-                              m_pad, k, n, T)
+    oh_plans = _onehot_plans_padded(np.asarray(a.indptr),
+                                    np.asarray(b.indptr),
+                                    m_pad, k, n, a.dtype)
+    rowc, tilec = _alg2_count(a_indptr, a.indices, a.data,
+                              b.indptr, b.indices, b.data,
+                              m_pad, k, n, T, oh_plans)
     tilec_h = np.asarray(tilec)  # host sizing readback (spMatGetSize)
     nnz = int(tilec_h.sum())
     if nnz == 0:
@@ -177,11 +217,12 @@ def spgemm_alg2_blocked(a, b, alpha, precision: str = "highest",
         return _empty_csr(m, n, a.dtype)
     cap_tile = _round_up(int(tilec_h.max()), 8)
     if verbose:
-        print(f"[spgemm alg2/blocked] T={T} cap_tile={cap_tile} nnz={nnz}")
+        print(f"[spgemm alg2/blocked] T={T} cap_tile={cap_tile} nnz={nnz} "
+              f"onehot={oh_plans[0] is not None}")
     indptr, cols, vals = _alg2_compute(
         a_indptr, a.indices, a.data, b.indptr, b.indices, b.data,
         jnp.asarray(alpha, a.dtype), m, m_pad, k, n, T, cap_tile, nnz,
-        precision)
+        precision, oh_plans)
     return CSR.from_parts(indptr, cols, vals, (m, n), canonical=True)
 
 

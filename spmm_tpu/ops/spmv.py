@@ -96,10 +96,11 @@ def spmv(a, x, alpha=1.0, transa: bool = False, via: str = "auto",
     Validation mirrors cusparse.spmv: A must be CSR (CSC handled via cheap
     transpose view), x a 1-D dense vector of matching length.
 
-    `via`: "auto" (Pallas one-hot MXU kernel on TPU when applicable, else
-    gather+segment-sum), "onehot", "csr", or "dense".  `plan` may carry a
-    cached `spmv_onehot_plans(a)` result to skip the per-call host
-    readback on serving paths.
+    `via`: "auto" (best Pallas kernel on TPU when applicable — binned
+    lane-gather first, one-hot second — else gather+segment-sum),
+    "binned", "onehot", "csr", or "dense".  `plan` may carry a cached
+    `spmv_plan(a)` result to skip the per-call host analysis on serving
+    paths.
     """
     from spmm_tpu.sparse.base import issparse
     from spmm_tpu.sparse.csc import CSC
@@ -131,7 +132,7 @@ def spmv(a, x, alpha=1.0, transa: bool = False, via: str = "auto",
             tag, p = plan
         elif plan is not None:
             tag, p = "onehot", plan   # legacy: bare onehot plan tuple
-        elif via == "binned":
+        elif via in ("auto", "binned"):
             tag, p = (spmv_plan(a) or (None, None))
         else:
             tag, p = "onehot", spmv_onehot_plans(a)

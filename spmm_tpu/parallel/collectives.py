@@ -268,6 +268,59 @@ def reduce_csr(mats, mesh: Mesh, axis: str, root: int = 0, cap=None):
     return all_reduce_csr(mats, mesh, axis, cap)
 
 
+def send_recv_csr(parts, mesh: Mesh, axis: str, src: int, dst: int):
+    """Point-to-point transfer of one shard's padded CSR components
+    (`_SparseNCCLCommunicator.send`/`recv`/`send_recv`,
+    _nccl_comm.py:525-580: sizes header then payload).  Under SPMD a
+    single p2p edge is a one-pair ppermute riding ICI; every other
+    shard's slot receives zeros (no peer sent to it), matching NCCL
+    semantics where only `dst` posts a receive."""
+    return ppermute_csr(parts, mesh, axis, [(int(src), int(dst))])
+
+
+def scatter_csr(mats, mesh: Mesh, axis: str, root: int = 0, cap=None):
+    """Root scatters one CSR to each shard
+    (`_SparseNCCLCommunicator.scatter`).  On TPU the root's D matrices
+    enter as host values, so scattering is padding to a common capacity
+    and laying the stacked wire components out along the mesh axis —
+    returns `parts` (the (D, ...) wire format) ready for sharded
+    consumption; pair with `unpad_csr(parts[...][d])` per shard."""
+    D = mesh.shape[axis]
+    if len(mats) != D:
+        raise ValueError(f"need one CSR per shard ({D}), got {len(mats)}")
+    if cap is None:
+        cap = max(max(a.nnz for a in mats), 1)
+    wires = [_wire(a, cap) for a in mats]
+    return tuple(jnp.stack([w[i] for w in wires]) for i in range(4))
+
+
+def gather_csr(parts, mesh: Mesh, axis: str, root: int = 0, shape=None):
+    """Gather every shard's padded CSR onto the root
+    (`_SparseNCCLCommunicator.gather`): an all_gather of the wire
+    components (replication is how a root copy materialises on ICI),
+    unpacked into a list of CSR matrices in shard order."""
+    D = mesh.shape[axis]
+
+    def build():
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False)
+        def step(ip, ix, dv, nz):
+            return tuple(jax.lax.all_gather(c[0], axis)
+                         for c in (ip, ix, dv, nz))
+
+        return step
+
+    prog = _cached_program_local(("gather_csr", mesh, axis), build)
+    gip, gix, gdv, gnz = prog(*parts)
+    if shape is None:
+        raise ValueError("gather_csr needs the (m, n) block shape")
+    return [unpad_csr(gip[d], gix[d], gdv[d], int(gnz[d]), shape)
+            for d in range(D)]
+
+
 def _cached_program_local(key, builder):
     from spmm_tpu.parallel.sharded import _cached_program
 

@@ -234,3 +234,31 @@ def test_spgemm_summa_sparse_blocks():
     ref.sort_indices()
     np.testing.assert_allclose(np.asarray(Cs.toarray()), ref.toarray(),
                                rtol=2e-5, atol=1e-6)
+
+
+def test_sparse_send_recv_scatter_gather(mesh):
+    """p2p + scatter/gather parity (`_SparseNCCLCommunicator.send/recv/
+    scatter/gather`, _nccl_comm.py:525-604)."""
+    D = mesh.shape["rows"]
+    mats = [st.random(12, 14, 0.2, format="csr", random_state=40 + i)
+            for i in range(D)]
+    # scatter: root's list becomes the sharded wire layout
+    parts = pp.collectives.scatter_csr(mats, mesh, "rows")
+    for d in range(D):
+        got = pp.collectives.unpad_csr(
+            parts[0][d], parts[1][d], parts[2][d], int(parts[3][d]),
+            (12, 14))
+        np.testing.assert_array_equal(np.asarray(got.toarray()),
+                                      np.asarray(mats[d].toarray()))
+    # send_recv: shard 0 -> shard D-1
+    out = pp.collectives.send_recv_csr(parts, mesh, "rows", 0, D - 1)
+    got = pp.collectives.unpad_csr(
+        out[0][D - 1], out[1][D - 1], out[2][D - 1], int(out[3][D - 1]),
+        (12, 14))
+    np.testing.assert_array_equal(np.asarray(got.toarray()),
+                                  np.asarray(mats[0].toarray()))
+    # gather: every shard's block back as a list (root copy)
+    back = pp.collectives.gather_csr(parts, mesh, "rows", shape=(12, 14))
+    for d in range(D):
+        np.testing.assert_array_equal(np.asarray(back[d].toarray()),
+                                      np.asarray(mats[d].toarray()))
