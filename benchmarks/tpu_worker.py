@@ -10,6 +10,7 @@ jobs, so matrices/compiled fns persist), writes stdout+traceback to
 
 import io
 import os
+import signal
 import sys
 import time
 import traceback
@@ -25,7 +26,21 @@ import jax  # noqa: E402
 print(f"worker ready: {jax.devices()}", flush=True)
 namespace: dict = {"jax": jax}
 
-done = set()
+JOB_TIMEOUT = int(os.environ.get("TPU_JOB_TIMEOUT", "2400"))
+
+
+class _JobTimeout(Exception):
+    pass
+
+
+def _alarm(signum, frame):
+    raise _JobTimeout(f"job exceeded {JOB_TIMEOUT}s")
+
+
+signal.signal(signal.SIGALRM, _alarm)
+
+# done-tracking survives worker restarts via the .done marker files
+done = {f[:-5] + ".py" for f in os.listdir(JOB_DIR) if f.endswith(".done")}
 while True:
     if os.path.exists(os.path.join(JOB_DIR, "stop")):
         print("worker stopping", flush=True)
@@ -40,10 +55,14 @@ while True:
         try:
             with open(path) as f:
                 code = f.read()
-            with redirect_stdout(buf), redirect_stderr(buf):
-                exec(compile(code, path, "exec"), namespace)
+            signal.alarm(JOB_TIMEOUT)
+            try:
+                with redirect_stdout(buf), redirect_stderr(buf):
+                    exec(compile(code, path, "exec"), namespace)
+            finally:
+                signal.alarm(0)
             status = "ok"
-        except Exception:
+        except BaseException:
             buf.write(traceback.format_exc())
             status = "error"
         with open(outp, "w") as f:

@@ -1,0 +1,351 @@
+"""Pallas TPU SpMV with plan-time row routing: gather + permute + sum.
+
+The third-generation fixed-structure SpMV (after kernels/spmv_onehot's
+one-hot MXU gather and kernels/spmv_binned's lane gather + masked-select
+reduce) — the TPU analogue of cuSPARSE's SpMV analysis phase
+(/root/reference modify_src/cupy-src/cupyx/cusparse.py:1373-1438).
+
+Key idea: `spmv_binned`'s reduce pays ~128 VPU ops per entry to select
+each product into its row's lane at runtime.  But the plan controls BOTH
+sides of the product array: the gather constrains only an entry's
+SUBLANE (= its column class, so `take_along_axis` can fetch x), and the
+reduce constrains only its LANE (= its row residue, so a plain sublane
+sum accumulates rows).  An entry's lane within its class bin is free —
+so choose it at plan time such that, within every lane-row of the
+(transposed) product array, no two entries share a row.  That is a
+bipartite edge-coloring of the (class, row) multigraph of each 128-row
+group: colors = lane-rows, and by König's theorem max(bin size, row
+degree) colors suffice.  The plan Δ-regularises each group's multigraph
+with dummy edges and peels perfect matchings (scipy Hopcroft–Karp, all
+groups fused block-diagonally so each color round is ONE matching).
+
+Pipeline (two Pallas kernels + no XLA repack at all):
+  kernel 1: per (128, 128) tile — lane-gather x by class (same gather
+      as spmv_binned, C column tiles), multiply by pre-binned values,
+      transpose in-register, then one static lane-permute
+      (`take_along_axis` with the plan's route table) moves each product
+      to lane = its row's residue; dead slots read lane 0 and are
+      masked to +0.0 by the route's sign bit.
+  kernel 2: stream group-pure row-blocks, plain sublane sums into the
+      lane-major (G, 128) y accumulator — ~1 add per entry, no
+      compares, no selects, no MXU.
+
+Exactness: products are val * x[col] in f32 (x bitwise through the
+gather), accumulation is an exact f32 sum in a fixed plan+compiler
+determined tree order — deterministic across runs, same accuracy class
+as spmv_binned.
+
+Slack: the padded-slot count is L_g = max over the group of (class bin
+size / R, row degree), rounded to the row-block granularity — row
+degree is the new binding term (spmv_binned had only bin size).  Plans
+with pathological skew return None and callers fall back to
+spmv_binned.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INDEX_DTYPE = jnp.int32
+
+U1 = 8           # kernel-1 tiles per grid step
+SB = 8           # kernel-2 sub-block rows (and the lane granularity)
+U2 = 16          # kernel-2 sub-blocks per grid step
+_C_MAX = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _ceil_div(x, m):
+    return -(-x // m)
+
+
+class SpmvRoutedPlan(NamedTuple):
+    m: int
+    n: int
+    NL: int               # total lane-rows (slots = NL * 128)
+    nsteps1: int
+    nsteps2: int
+    R: int                # class replication (sublanes per class)
+    C: int                # x-table column tiles
+    hi_tbl: jnp.ndarray   # (NL, 128) i32 — gather index q per slot
+    val_tbl: jnp.ndarray  # (NL, 128) f32 — pre-binned values (0 = dead)
+    route_tbl: jnp.ndarray  # (NL, 128) i8 — per lane-row: source class
+    #                         (sublane) for each row-slot lane; -1 dead
+    r0s: jnp.ndarray      # (nsteps2*U2,) i32 — group base row per
+    #                       SB-row sub-block (multiple of 128)
+
+
+def _color_groups(gr, cls, rho, ngroups: int, m128: int, R: int, L_g):
+    """Assign each entry a lane-row (color) within its group such that
+    (a) at most one entry per (lane-row, sublane) — the class's R
+    sublane copies take a bin's entries round-robin — and (b) no two
+    entries of one row share a lane-row.  Constructive: Δ-regularise
+    the (sublane, row) bipartite multigraph of every group with dummy
+    edges and peel perfect matchings — all groups fused as one
+    block-diagonal graph, so each color round is ONE scipy
+    Hopcroft–Karp matching.  Returns (per-entry lane-row local to the
+    group, per-entry sublane), or (None, None) on failure."""
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import maximum_bipartite_matching
+
+    nnz = gr.shape[0]
+    colors = int(L_g.max())
+    # distribute each (g, class) bin's entries round-robin over the
+    # class's R sublane copies
+    keyc = gr * m128 + cls
+    order = np.argsort(keyc, kind="stable")
+    seqc = np.empty(nnz, np.int64)
+    cnt_c = np.bincount(keyc, minlength=ngroups * m128)
+    starts = np.zeros(ngroups * m128 + 1, np.int64)
+    np.cumsum(cnt_c, out=starts[1:])
+    seqc[order] = np.arange(nnz, dtype=np.int64) - starts[keyc[order]]
+    sub = cls + (seqc % R) * m128           # final sublane per entry
+    left = gr * 128 + sub                   # capacity-1 left node
+    right = gr * 128 + rho                  # capacity-1 right node
+
+    NV = ngroups * 128
+    capV = np.repeat(L_g.astype(np.int64), 128)   # per-node color budget
+    padL = capV - np.bincount(left, minlength=NV)
+    padR = capV - np.bincount(right, minlength=NV)
+    if (padL < 0).any() or (padR < 0).any():
+        return None, None
+    # dummy edges regularise every node of group g to degree L_g; both
+    # sides of a group miss the same total (128*L_g - nnz_g), and
+    # np.repeat emits them in group order, so dummyL[i]/dummyR[i] always
+    # belong to the same group
+    dummyL = np.repeat(np.arange(NV, dtype=np.int64), padL)
+    dummyR = np.repeat(np.arange(NV, dtype=np.int64), padR)
+    allL = np.concatenate([left, dummyL])
+    allR = np.concatenate([right, dummyR])
+
+    lane_out = np.full(nnz, -1, np.int64)
+    # compacted active-edge arrays; eids track original positions
+    eids = np.arange(allL.shape[0], dtype=np.int64)
+    curL, curR = allL, allR
+    sentinel = np.int64(1) << 62
+    for color in range(colors):
+        if eids.size == 0:
+            break
+        # the active multigraph is (L_g - color)-regular per group, so a
+        # maximum matching saturates every still-active node
+        g = csr_matrix((np.ones(eids.size, np.int8), (curL, curR)),
+                       shape=(NV, NV))
+        match = maximum_bipartite_matching(g, perm_type="column")
+        pick = match[curL] == curR              # edges between matched pairs
+        # keep exactly one edge per matched left node (multi-edges and
+        # parallel dummies collapse to the lowest edge position)
+        first = np.full(NV, sentinel)
+        pos = np.flatnonzero(pick)
+        np.minimum.at(first, curL[pos], pos)
+        takepos = first[curL[pos]] == pos
+        chosen_pos = pos[takepos]
+        chosen = eids[chosen_pos]
+        real = chosen[chosen < nnz]
+        lane_out[real] = color
+        keep = np.ones(eids.size, bool)
+        keep[chosen_pos] = False
+        eids = eids[keep]
+        curL = curL[keep]
+        curR = curR[keep]
+    if (lane_out < 0).any():
+        return None, None
+    return lane_out, sub
+
+
+def spmv_routed_plan(indptr_host, indices_host, data_host,
+                     m: int, n: int) -> Optional[SpmvRoutedPlan]:
+    """Host-side analysis: route every entry to (lane-row, sublane,
+    row-slot) coordinates; see module docstring."""
+    indptr = np.asarray(indptr_host)
+    indices = np.asarray(indices_host, np.int64)
+    data = np.asarray(data_host)
+    nnz = int(indptr[-1])
+    if nnz == 0 or m <= 0 or n > _C_MAX * 128 * 128:
+        return None
+
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(indptr))
+    gr = rows >> 7
+    rho = rows & 127
+    ngroups = _ceil_div(m, 128)
+
+    # pick R (class replication) to balance bin skew against row degree:
+    # L_g = max(ceil(maxbin/R) [bin side], maxdeg [row side])
+    degR = np.bincount(gr * 128 + rho, minlength=ngroups * 128)
+    maxdeg = degR.reshape(ngroups, 128).max(axis=1)
+    best = None
+    for R_c in (1, 2, 4):
+        m128 = 128 // R_c
+        C_c = max(1, _ceil_div(_ceil_div(n, m128), 128))
+        if C_c > _C_MAX:
+            continue
+        cls_c = indices % m128
+        cnt = np.bincount(gr * m128 + cls_c, minlength=ngroups * m128)
+        maxbin = cnt.reshape(ngroups, m128).max(axis=1)
+        L_gc = np.maximum(
+            SB, _ceil_div(np.maximum(_ceil_div(maxbin, R_c), maxdeg), SB)
+            * SB)
+        slots_c = int(L_gc.sum()) * 128
+        cost = slots_c * (1.0 + 0.03 * (C_c - 1))
+        if best is None or cost < best[0]:
+            best = (cost, R_c, C_c, L_gc)
+    if best is None:
+        return None
+    _, R, C, L_g = best
+    m128 = 128 // R
+    cls = indices % m128
+    q = indices // m128
+    slots = int(L_g.sum()) * 128
+    if slots > 8 * max(nnz, 1) or slots > (1 << 27):
+        return None
+
+    lane_local, sub = _color_groups(gr, cls, rho, ngroups, m128, R,
+                                    L_g.astype(np.int64))
+    if lane_local is None:
+        return None
+
+    lane_base = np.zeros(ngroups + 1, np.int64)
+    np.cumsum(L_g, out=lane_base[1:])
+    NL = _round_up(int(lane_base[-1]), 128)
+    nsteps1 = max(_ceil_div(NL, U1 * 128), 1)
+    NL1 = nsteps1 * U1 * 128
+    rows_per_step2 = SB * U2
+    nsteps2 = max(_ceil_div(NL, rows_per_step2), 1)
+    NL2 = nsteps2 * rows_per_step2
+    NLP = max(NL1, NL2)
+
+    lane = lane_base[gr] + lane_local       # global lane-row per entry
+    tile = lane >> 7
+    ll = lane & 127
+
+    # gather tables are tile-major by SUBLANE (a tile's block rows are
+    # its 128 sublanes, its columns the 128 lanes — the layout
+    # `_gather_route_kernel` slices); the route table is tile-major by
+    # LANE (it applies to the transposed product, rows = lanes)
+    hi_tbl = np.zeros((NLP * 128,), np.int32)
+    val_tbl = np.zeros((NLP * 128,), np.float32)
+    route = np.full((NLP, 128), -1, np.int8)
+    flat_g = (tile * 128 + sub) * 128 + ll
+    hi_tbl[flat_g] = q
+    val_tbl[flat_g] = data.astype(np.float32)
+    route[lane, rho] = sub.astype(np.int8)
+
+    # group base row per SB-row sub-block (sub-blocks are group-pure:
+    # L_g is a multiple of SB)
+    first_lane = np.arange(nsteps2 * U2, dtype=np.int64) * SB
+    grp = np.searchsorted(lane_base[1:], first_lane, side="right")
+    grp = np.minimum(grp, ngroups - 1)
+    r0s = (grp * 128).astype(np.int32)
+
+    return SpmvRoutedPlan(
+        m=m, n=n, NL=NLP, nsteps1=nsteps1, nsteps2=nsteps2, R=R, C=C,
+        hi_tbl=jnp.asarray(hi_tbl.reshape(NLP, 128)),
+        val_tbl=jnp.asarray(val_tbl.reshape(NLP, 128)),
+        route_tbl=jnp.asarray(route),
+        r0s=jnp.asarray(r0s))
+
+
+def _gather_route_kernel(hi_ref, val_ref, route_ref, xq_ref, out_ref,
+                         *, C: int):
+    """Lane-gather x by class from C stacked tiles, multiply by values,
+    transpose, then the static route permute: one take_along_axis moves
+    each product to its row-slot lane; dead slots masked to +0.0."""
+    xq = xq_ref[...]
+    for j in range(U1):
+        sl = slice(j * 128, (j + 1) * 128)
+        hi = hi_ref[sl, :]
+        idx = hi & 127
+        xv = jnp.take_along_axis(xq[0:128, :], idx, axis=1)
+        for t in range(1, C):
+            xt = jnp.take_along_axis(xq[t * 128:(t + 1) * 128, :], idx,
+                                     axis=1)
+            xv = jnp.where((hi >> 7) == t, xt, xv)
+        prod = (val_ref[sl, :] * xv).T          # (lane-row, class)
+        r = route_ref[sl, :].astype(jnp.int32)  # (lane-row, row-slot)
+        routed = jnp.take_along_axis(prod, jnp.maximum(r, 0), axis=1)
+        out_ref[sl, :] = jnp.where(r >= 0, routed, 0.0)
+
+
+def _sum_kernel(r0s_ref, z_ref, y_ref):
+    """Plain sublane sums of group-pure SB-row sub-blocks into the
+    lane-major (G_pad, 128) y accumulator."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    z = z_ref[...]                              # (U2*SB, 128)
+    iota8 = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    for u in range(U2):
+        blk = z[u * SB:(u + 1) * SB, :]
+        y_win = jnp.sum(blk, axis=0, keepdims=True)   # (1, 128)
+        g = r0s_ref[i * U2 + u] >> 7
+        s = pl.multiple_of(g & (-8), 8)
+        y8 = jnp.where(iota8 == (g & 7), y_win, 0.0)
+        y_ref[pl.ds(s, 8), :] += y8
+
+
+@functools.partial(jax.jit, static_argnames=("plan_static", "interpret"))
+def _spmv_routed_call(hi_tbl, val_tbl, route_tbl, r0s, x,
+                      plan_static, interpret=False):
+    m, n, NL, nsteps1, nsteps2, R, C = plan_static
+    m128 = 128 // R
+    n_pad = C * 128 * m128
+    xp = x.astype(jnp.float32)
+    if n < n_pad:
+        xp = jnp.concatenate([xp, jnp.zeros((n_pad - n,), jnp.float32)])
+    xq = jnp.tile(xp.reshape(C, 128, m128).transpose(0, 2, 1),
+                  (1, R, 1)).reshape(C * 128, 128)
+
+    z = pl.pallas_call(
+        functools.partial(_gather_route_kernel, C=C),
+        grid=(nsteps1,),
+        in_specs=[
+            pl.BlockSpec((U1 * 128, 128), lambda i: (i, 0)),
+            pl.BlockSpec((U1 * 128, 128), lambda i: (i, 0)),
+            pl.BlockSpec((U1 * 128, 128), lambda i: (i, 0)),
+            pl.BlockSpec((C * 128, 128), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((U1 * 128, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((nsteps1 * U1 * 128, 128),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=interpret,
+    )(hi_tbl, val_tbl, route_tbl, xq)
+
+    G_pad = _round_up(_ceil_div(m, 128), 8)
+    NL2 = nsteps2 * SB * U2
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps2,),
+        in_specs=[pl.BlockSpec((SB * U2, 128), lambda i, r: (i, 0))],
+        out_specs=pl.BlockSpec((G_pad, 128), lambda i, r: (0, 0)),
+    )
+    y = pl.pallas_call(
+        _sum_kernel,
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((G_pad, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=interpret,
+    )(r0s, z[:NL2])
+    return y.reshape(G_pad * 128)[:m]
+
+
+def spmv_routed(x, plan: SpmvRoutedPlan, interpret: bool = False):
+    """y = A @ x for the fixed structure/values captured in `plan`."""
+    ps = (plan.m, plan.n, plan.NL, plan.nsteps1, plan.nsteps2,
+          plan.R, plan.C)
+    return _spmv_routed_call(plan.hi_tbl, plan.val_tbl, plan.route_tbl,
+                             plan.r0s, x, ps, interpret)

@@ -64,14 +64,19 @@ def spmv_onehot_plans(a):
     return spmv_onehot_plan(np.asarray(a.indptr), m, n)
 
 
-def spmv_plan(a):
+def spmv_plan(a, effort: str = "fast"):
     """Preprocess `a` for repeated SpMV — the analogue of cuSPARSE's
     descriptor + analysis reuse (cusparse.py:1373-1438, the createDnVec/
     CsrMat + buffer sizing done once per structure).
 
-    Prefers the binned lane-gather kernel (kernels/spmv_binned — measured
-    ~1.7-2.8x the one-hot kernel's throughput on v5e), falling back to
-    the one-hot kernel's plan, else None (gather+segment-sum path).
+    Plan preference (measured on v5e, BENCH_SUMMARY.md):
+    routed (kernels/spmv_routed, 5-14 Gnnz/s) > binned
+    (kernels/spmv_binned, 1.5-1.7 Gnnz/s) > one-hot (0.5) > None
+    (gather+segment-sum).  The routed plan's bipartite edge-coloring
+    analysis peels one matching per lane-row (~0.4 s at 100k nnz,
+    ~40 s at 1M) — too heavy for the per-call eager path, so
+    `effort="fast"` (the default, what `spmv(via="auto")` uses) skips
+    it; request `effort="max"` for serving plans built once and reused.
     Returns an opaque tagged plan for `spmv(..., plan=...)`."""
     from spmm_tpu.ops.kernels.spmv_binned import spmv_binned_plan
 
@@ -81,8 +86,16 @@ def spmv_plan(a):
 
     a = a.tocsr().sum_duplicates()
     m, n = a.shape
-    bp = spmv_binned_plan(np.asarray(a.indptr), np.asarray(a.indices),
-                          np.asarray(a.data), m, n)
+    iph = np.asarray(a.indptr)
+    ixh = np.asarray(a.indices)
+    dvh = np.asarray(a.data)
+    if effort == "max":
+        from spmm_tpu.ops.kernels.spmv_routed import spmv_routed_plan
+
+        rp = spmv_routed_plan(iph, ixh, dvh, m, n)
+        if rp is not None:
+            return ("routed", rp)
+    bp = spmv_binned_plan(iph, ixh, dvh, m, n)
     if bp is not None:
         return ("binned", bp)
     op = spmv_onehot_plans(a)
@@ -128,7 +141,8 @@ def spmv(a, x, alpha=1.0, transa: bool = False, via: str = "auto",
     if not transa and via in ("auto", "onehot", "binned"):
         a = a.sum_duplicates()  # kernels require canonical entries
         if plan is not None and isinstance(plan, tuple) \
-                and len(plan) == 2 and plan[0] in ("binned", "onehot"):
+                and len(plan) == 2 \
+                and plan[0] in ("routed", "binned", "onehot"):
             tag, p = plan
         elif plan is not None:
             tag, p = "onehot", plan   # legacy: bare onehot plan tuple
@@ -136,6 +150,10 @@ def spmv(a, x, alpha=1.0, transa: bool = False, via: str = "auto",
             tag, p = (spmv_plan(a) or (None, None))
         else:
             tag, p = "onehot", spmv_onehot_plans(a)
+        if tag == "routed" and p is not None:
+            from spmm_tpu.ops.kernels.spmv_routed import spmv_routed
+
+            return alpha * spmv_routed(x, p)
         if tag == "binned" and p is not None:
             from spmm_tpu.ops.kernels.spmv_binned import spmv_binned
 

@@ -49,7 +49,12 @@ def random(m: int, n: int, density: float = 0.01, format: str = "coo",
     key = _as_key(random_state)
     kpos, kval = jax.random.split(key)
     if k > 0:
-        if mn < 2**31:
+        # jax.random.choice(replace=False) materialises a full mn-element
+        # permutation (a giant sort — minutes on CPU at mn=1e8), so it is
+        # only used when the index space is small or dense enough that the
+        # de-dup draw would thrash; elsewhere the host-assisted distinct
+        # draw is O(k log k) regardless of mn
+        if mn < 2**31 and (mn < 2**24 or k * 4 > mn):
             flat = jax.random.choice(
                 kpos, mn, shape=(k,), replace=False
             ).astype(INDEX_DTYPE)
@@ -76,7 +81,7 @@ def random(m: int, n: int, density: float = 0.01, format: str = "coo",
 
 
 def _sample_distinct_large(key, m, n, k):
-    """Distinct (row, col) sampling when m*n >= 2**31 (host-assisted).
+    """Distinct (row, col) sampling for large index spaces (host-assisted).
 
     Fully vectorised: draw with replacement in int64 flat space, np.unique
     (sorted de-dup), top up the shortfall, then one final permutation to
