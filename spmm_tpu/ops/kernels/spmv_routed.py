@@ -87,6 +87,141 @@ class SpmvRoutedPlan(NamedTuple):
     #                       SB-row sub-block (multiple of 128)
 
 
+def _greedy_color(left, right, gr, capV, colors: int, nnz: int):
+    """Vectorised greedy lane assignment with conflict repair.
+
+    Invariants to satisfy: at most one entry per (left node, lane) and
+    per (right node, lane), lane < the entry's group budget.  Start
+    from the per-left rank (distinct per left by construction), then
+    repeatedly reassign conflicted entries to their first mutually-free
+    lane.  Returns per-entry lanes, or None if conflicts persist (the
+    caller falls back to the exact matching peel)."""
+    NV = capV.shape[0]
+    # initial candidate: per-left rank, rotated by a per-left hash so
+    # the right-side collisions don't all pile up at low lanes
+    order = np.argsort(left, kind="stable")
+    rank = np.empty(nnz, np.int64)
+    cnts = np.bincount(left, minlength=NV)
+    starts = np.zeros(NV + 1, np.int64)
+    np.cumsum(cnts, out=starts[1:])
+    rank[order] = np.arange(nnz, dtype=np.int64) - starts[left[order]]
+    lane = (rank + (left * 2654435761) % 1024) % capV[left]
+
+    def _first_per_key(keys):
+        """Mask of first occurrences per key (argsort-based — ~50x
+        np.minimum.at on million-entry batches)."""
+        o = np.argsort(keys, kind="stable")
+        f = np.empty(keys.size, bool)
+        ks = keys[o]
+        f_o = np.empty(keys.size, bool)
+        f_o[0:1] = True
+        f_o[1:] = ks[1:] != ks[:-1]
+        f[o] = f_o
+        return f
+
+    # bool occupancy for the bulk rounds; ALL round work is elementwise
+    # (this host's numpy runs wide 2-D temporaries at ~25 MB/s, so the
+    # (pending, colors) free-matrix formulation was 100x slower)
+    obL = np.zeros((NV, colors), bool)
+    obR = np.zeros((NV, colors), bool)
+    pending = np.arange(nnz, dtype=np.int64)
+    prev = nnz + 1
+    for rnd in range(48):
+        if pending.size == 0:
+            break
+        pl_, pr_, ln = left[pending], right[pending], lane[pending]
+        winL = _first_per_key(pl_ * colors + ln)
+        winR = _first_per_key(pr_ * colors + ln)
+        ok = (winL & winR & ~obL[pl_, ln] & ~obR[pr_, ln]
+              & (ln < capV[pl_]))
+        took = pending[ok]
+        obL[left[took], lane[took]] = True
+        obR[right[took], lane[took]] = True
+        pending = pending[~ok]
+        if pending.size * 10 > prev * 9:
+            break  # stagnating: the rest are truly stuck — Kempe repair
+        prev = pending.size
+        # reassign each pending entry to a pseudo-random mutually-free
+        # lane (deterministic hash; first-free would herd all of one
+        # row's conflicts onto the same lane).  Probe a few candidates
+        # elementwise; entries that miss retry next round re-salted.
+        pl_, pr_ = left[pending], right[pending]
+        cap = capV[pl_]
+        r0 = (pending * 2654435761 + rnd * 40503) % cap
+        ln_new = lane[pending]
+        found = np.zeros(pending.size, bool)
+        for t in range(8):
+            cand = r0 + t
+            cand -= np.where(cand >= cap, cap, 0)
+            okf = ~found & ~obL[pl_, cand] & ~obR[pr_, cand]
+            ln_new = np.where(okf, cand, ln_new)
+            found |= okf
+        lane[pending] = ln_new
+    if pending.size == 0:
+        return lane
+    if pending.size > max(16384, nnz // 8):
+        return None  # greedy failed broadly: exact peel is cheaper
+
+    # occupant-id tables for the repair walks
+    assigned = np.ones(nnz, bool)
+    assigned[pending] = False
+    aid = np.flatnonzero(assigned)
+    occL = np.full((NV, colors), -1, np.int64)
+    occR = np.full((NV, colors), -1, np.int64)
+    occL[left[aid], lane[aid]] = aid
+    occR[right[aid], lane[aid]] = aid
+
+    # Kempe-chain repair (König's constructive step): for entry (l, r)
+    # with no mutually-free lane, take lane a free at l and b free at r,
+    # swap colors a/b along the maximal alternating chain from r — the
+    # chain cannot reach l, so a becomes free at both ends.
+    for e in pending:
+        l, r, cap = int(left[e]), int(right[e]), int(capV[left[e]])
+        fl = np.flatnonzero(occL[l, :cap] < 0)
+        fr = np.flatnonzero(occR[r, :cap] < 0)
+        if fl.size == 0 or fr.size == 0:
+            return None  # node saturated beyond budget: exact peel
+        common = np.intersect1d(fl, fr, assume_unique=True)
+        if common.size:
+            c = int(common[0])
+            lane[e] = c
+            occL[l, c] = e
+            occR[r, c] = e
+            continue
+        a, b = int(fl[0]), int(fr[0])
+        # walk from r: edge colored a at r, then b at its left, ...
+        node, side, col = r, "R", a
+        chain = []
+        while True:
+            e2 = int(occR[node, col]) if side == "R" else \
+                int(occL[node, col])
+            if e2 < 0:
+                break
+            chain.append(e2)
+            if side == "R":
+                node, side = int(left[e2]), "L"
+            else:
+                node, side = int(right[e2]), "R"
+            col = b if col == a else a
+        # swap a<->b along the chain
+        for e2 in chain:
+            l2, r2, c2 = int(left[e2]), int(right[e2]), int(lane[e2])
+            nc = b if c2 == a else a
+            occL[l2, c2] = -1
+            occR[r2, c2] = -1
+            lane[e2] = nc
+        for e2 in chain:
+            l2, r2, c2 = int(left[e2]), int(right[e2]), int(lane[e2])
+            occL[l2, c2] = e2
+            occR[r2, c2] = e2
+        if occL[l, a] >= 0 or occR[r, a] >= 0:
+            return None  # chain reached l (shouldn't happen): exact peel
+        lane[e] = a
+        occL[l, a] = e
+        occR[r, a] = e
+    return lane
+
+
 def _color_groups(gr, cls, rho, ngroups: int, m128: int, R: int, L_g):
     """Assign each entry a lane-row (color) within its group such that
     (a) at most one entry per (lane-row, sublane) — the class's R
@@ -102,6 +237,7 @@ def _color_groups(gr, cls, rho, ngroups: int, m128: int, R: int, L_g):
 
     nnz = gr.shape[0]
     colors = int(L_g.max())
+    capL_g = L_g.astype(np.int64)
     # distribute each (g, class) bin's entries round-robin over the
     # class's R sublane copies
     keyc = gr * m128 + cls
@@ -116,11 +252,20 @@ def _color_groups(gr, cls, rho, ngroups: int, m128: int, R: int, L_g):
     right = gr * 128 + rho                  # capacity-1 right node
 
     NV = ngroups * 128
-    capV = np.repeat(L_g.astype(np.int64), 128)   # per-node color budget
+    capV = np.repeat(capL_g, 128)                 # per-node color budget
     padL = capV - np.bincount(left, minlength=NV)
     padR = capV - np.bincount(right, minlength=NV)
     if (padL < 0).any() or (padR < 0).any():
         return None, None
+
+    # fast path: vectorised greedy + conflict repair.  The SB-granular
+    # rounding of L_g leaves free lanes on most nodes, so random
+    # conflicts almost always resolve in a few rounds; the exact
+    # matching peel below is the guaranteed fallback (measured: greedy
+    # colors 1M entries in ~1 s vs ~40 s for the peel).
+    lane_g = _greedy_color(left, right, gr, capV, colors, nnz)
+    if lane_g is not None:
+        return lane_g, sub
     # dummy edges regularise every node of group g to degree L_g; both
     # sides of a group miss the same total (128*L_g - nnz_g), and
     # np.repeat emits them in group order, so dummyL[i]/dummyR[i] always

@@ -64,7 +64,7 @@ def spmv_onehot_plans(a):
     return spmv_onehot_plan(np.asarray(a.indptr), m, n)
 
 
-def spmv_plan(a, effort: str = "fast"):
+def spmv_plan(a, effort: str = "auto"):
     """Preprocess `a` for repeated SpMV — the analogue of cuSPARSE's
     descriptor + analysis reuse (cusparse.py:1373-1438, the createDnVec/
     CsrMat + buffer sizing done once per structure).
@@ -72,11 +72,11 @@ def spmv_plan(a, effort: str = "fast"):
     Plan preference (measured on v5e, BENCH_SUMMARY.md):
     routed (kernels/spmv_routed, 5-14 Gnnz/s) > binned
     (kernels/spmv_binned, 1.5-1.7 Gnnz/s) > one-hot (0.5) > None
-    (gather+segment-sum).  The routed plan's bipartite edge-coloring
-    analysis peels one matching per lane-row (~0.4 s at 100k nnz,
-    ~40 s at 1M) — too heavy for the per-call eager path, so
-    `effort="fast"` (the default, what `spmv(via="auto")` uses) skips
-    it; request `effort="max"` for serving plans built once and reused.
+    (gather+segment-sum).  The routed plan's edge-coloring analysis
+    costs ~0.7 s at 100k nnz / ~4 s at 1M (host, deterministic);
+    `effort` trades analysis for execution: "auto" (default) attempts
+    routed up to 8M nnz, "max" always, "fast" never (the per-call eager
+    path uses "fast" — its binned analysis is milliseconds).
     Returns an opaque tagged plan for `spmv(..., plan=...)`."""
     from spmm_tpu.ops.kernels.spmv_binned import spmv_binned_plan
 
@@ -89,7 +89,7 @@ def spmv_plan(a, effort: str = "fast"):
     iph = np.asarray(a.indptr)
     ixh = np.asarray(a.indices)
     dvh = np.asarray(a.data)
-    if effort == "max":
+    if effort == "max" or (effort == "auto" and a.nnz <= (1 << 23)):
         from spmm_tpu.ops.kernels.spmv_routed import spmv_routed_plan
 
         rp = spmv_routed_plan(iph, ixh, dvh, m, n)
@@ -147,7 +147,7 @@ def spmv(a, x, alpha=1.0, transa: bool = False, via: str = "auto",
         elif plan is not None:
             tag, p = "onehot", plan   # legacy: bare onehot plan tuple
         elif via in ("auto", "binned"):
-            tag, p = (spmv_plan(a) or (None, None))
+            tag, p = (spmv_plan(a, effort="fast") or (None, None))
         else:
             tag, p = "onehot", spmv_onehot_plans(a)
         if tag == "routed" and p is not None:
