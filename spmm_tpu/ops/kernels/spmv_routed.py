@@ -19,16 +19,16 @@ degree) colors suffice.  The plan Δ-regularises each group's multigraph
 with dummy edges and peels perfect matchings (scipy Hopcroft–Karp, all
 groups fused block-diagonally so each color round is ONE matching).
 
-Pipeline (two Pallas kernels + no XLA repack at all):
-  kernel 1: per (128, 128) tile — lane-gather x by class (same gather
-      as spmv_binned, C column tiles), multiply by pre-binned values,
-      transpose in-register, then one static lane-permute
-      (`take_along_axis` with the plan's route table) moves each product
-      to lane = its row's residue; dead slots read lane 0 and are
-      masked to +0.0 by the route's sign bit.
-  kernel 2: stream group-pure row-blocks, plain sublane sums into the
-      lane-major (G, 128) y accumulator — ~1 add per entry, no
-      compares, no selects, no MXU.
+Pipeline — ONE fused Pallas kernel (no z intermediate, no XLA repack):
+per (128, 128) tile, lane-gather x by class (C column tiles), multiply
+by pre-binned values, transpose in-register, one static lane-permute
+(`take_along_axis` with the plan's route table) moves each product to
+lane = its row's residue (dead slots read lane 0, masked to +0.0 by
+the route's sign bit), then group-pure SB-row sub-blocks sum straight
+into the lane-major (G, 128) y accumulator — ~1 add per entry, no
+compares, no selects, no MXU.  `spmm_routed` runs the same route for
+KB columns of a dense X per table stream (a two-kernel variant, since
+the KB-wide z blocks don't fit the fused accumulator pattern).
 
 Exactness: products are val * x[col] in f32 (x bitwise through the
 gather), accumulation is an exact f32 sum in a fixed plan+compiler
@@ -387,8 +387,11 @@ def spmv_routed_plan(indptr_host, indices_host, data_host,
     route[lane, rho] = sub.astype(np.int8)
 
     # group base row per SB-row sub-block (sub-blocks are group-pure:
-    # L_g is a multiple of SB)
-    first_lane = np.arange(nsteps2 * U2, dtype=np.int64) * SB
+    # L_g is a multiple of SB); sized to the FULL padded lane-row count
+    # so both the fused kernel (grid over NL1 tiles) and the two-kernel
+    # sum (grid over NL2) stay in bounds — dead sub-blocks add +0.0 to
+    # whatever group searchsorted clamps them to
+    first_lane = np.arange(NLP // SB, dtype=np.int64) * SB
     grp = np.searchsorted(lane_base[1:], first_lane, side="right")
     grp = np.minimum(grp, ngroups - 1)
     r0s = (grp * 128).astype(np.int32)
@@ -401,13 +404,26 @@ def spmv_routed_plan(indptr_host, indices_host, data_host,
         r0s=jnp.asarray(r0s))
 
 
-def _gather_route_kernel(hi_ref, val_ref, route_ref, xq_ref, out_ref,
-                         *, C: int):
-    """Lane-gather x by class from C stacked tiles, multiply by values,
-    transpose, then the static route permute: one take_along_axis moves
-    each product to its row-slot lane; dead slots masked to +0.0."""
+U1F = 1          # fused-kernel tiles per grid step (16 dynamic y
+#                  updates per tile; Mosaic compile time explodes past
+#                  ~32 dynamic stores per step — see CLAUDE.md)
+
+
+def _fused_kernel(r0s_ref, hi_ref, val_ref, route_ref, xq_ref, y_ref,
+                  *, C: int):
+    """Gather + route + sublane-sum in ONE kernel: the z intermediate
+    (write + read ≈ 8 of the ~17 HBM bytes/slot) never exists.
+    Sub-blocks of SB lane-rows are group-pure, so each sums straight
+    into its group's row of the (G_pad, 128) accumulator."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
     xq = xq_ref[...]
-    for j in range(U1):
+    iota8 = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    for j in range(U1F):
         sl = slice(j * 128, (j + 1) * 128)
         hi = hi_ref[sl, :]
         idx = hi & 127
@@ -416,30 +432,18 @@ def _gather_route_kernel(hi_ref, val_ref, route_ref, xq_ref, out_ref,
             xt = jnp.take_along_axis(xq[t * 128:(t + 1) * 128, :], idx,
                                      axis=1)
             xv = jnp.where((hi >> 7) == t, xt, xv)
-        prod = (val_ref[sl, :] * xv).T          # (lane-row, class)
-        r = route_ref[sl, :].astype(jnp.int32)  # (lane-row, row-slot)
-        routed = jnp.take_along_axis(prod, jnp.maximum(r, 0), axis=1)
-        out_ref[sl, :] = jnp.where(r >= 0, routed, 0.0)
-
-
-def _sum_kernel(r0s_ref, z_ref, y_ref):
-    """Plain sublane sums of group-pure SB-row sub-blocks into the
-    lane-major (G_pad, 128) y accumulator."""
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        y_ref[...] = jnp.zeros_like(y_ref)
-
-    z = z_ref[...]                              # (U2*SB, 128)
-    iota8 = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    for u in range(U2):
-        blk = z[u * SB:(u + 1) * SB, :]
-        y_win = jnp.sum(blk, axis=0, keepdims=True)   # (1, 128)
-        g = r0s_ref[i * U2 + u] >> 7
-        s = pl.multiple_of(g & (-8), 8)
-        y8 = jnp.where(iota8 == (g & 7), y_win, 0.0)
-        y_ref[pl.ds(s, 8), :] += y8
+        prod = (val_ref[sl, :] * xv).T
+        r = route_ref[sl, :].astype(jnp.int32)
+        routed = jnp.where(
+            r >= 0, jnp.take_along_axis(prod, jnp.maximum(r, 0), axis=1),
+            0.0)
+        for u in range(128 // SB):
+            y_win = jnp.sum(routed[u * SB:(u + 1) * SB, :], axis=0,
+                            keepdims=True)
+            g = r0s_ref[(i * U1F + j) * (128 // SB) + u] >> 7
+            s = pl.multiple_of(g & (-8), 8)
+            y8 = jnp.where(iota8 == (g & 7), y_win, 0.0)
+            y_ref[pl.ds(s, 8), :] += y8
 
 
 @functools.partial(jax.jit, static_argnames=("plan_static", "interpret"))
@@ -454,37 +458,26 @@ def _spmv_routed_call(hi_tbl, val_tbl, route_tbl, r0s, x,
     xq = jnp.tile(xp.reshape(C, 128, m128).transpose(0, 2, 1),
                   (1, R, 1)).reshape(C * 128, 128)
 
-    z = pl.pallas_call(
-        functools.partial(_gather_route_kernel, C=C),
-        grid=(nsteps1,),
-        in_specs=[
-            pl.BlockSpec((U1 * 128, 128), lambda i: (i, 0)),
-            pl.BlockSpec((U1 * 128, 128), lambda i: (i, 0)),
-            pl.BlockSpec((U1 * 128, 128), lambda i: (i, 0)),
-            pl.BlockSpec((C * 128, 128), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((U1 * 128, 128), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((nsteps1 * U1 * 128, 128),
-                                       jnp.float32),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
-        interpret=interpret,
-    )(hi_tbl, val_tbl, route_tbl, xq)
-
     G_pad = _round_up(_ceil_div(m, 128), 8)
-    NL2 = nsteps2 * SB * U2
+    nstepsf = max(_ceil_div(NL, U1F * 128), 1)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nsteps2,),
-        in_specs=[pl.BlockSpec((SB * U2, 128), lambda i, r: (i, 0))],
+        grid=(nstepsf,),
+        in_specs=[
+            pl.BlockSpec((U1F * 128, 128), lambda i, r: (i, 0)),
+            pl.BlockSpec((U1F * 128, 128), lambda i, r: (i, 0)),
+            pl.BlockSpec((U1F * 128, 128), lambda i, r: (i, 0)),
+            pl.BlockSpec((C * 128, 128), lambda i, r: (0, 0)),
+        ],
         out_specs=pl.BlockSpec((G_pad, 128), lambda i, r: (0, 0)),
     )
     y = pl.pallas_call(
-        _sum_kernel,
+        functools.partial(_fused_kernel, C=C),
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((G_pad, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
-    )(r0s, z[:NL2])
+    )(r0s, hi_tbl, val_tbl, route_tbl, xq)
     return y.reshape(G_pad * 128)[:m]
 
 
@@ -494,3 +487,133 @@ def spmv_routed(x, plan: SpmvRoutedPlan, interpret: bool = False):
           plan.R, plan.C)
     return _spmv_routed_call(plan.hi_tbl, plan.val_tbl, plan.route_tbl,
                              plan.r0s, x, ps, interpret)
+
+
+# ===========================================================================
+# multi-vector (SpMM) execution over the same plan: the routing tables
+# are structure-only, so KB columns of X ride one table stream
+# ===========================================================================
+
+KB = 8           # columns per kernel pass
+U1M = 2          # kernel-1 tiles per grid step (out block = U1M*KB*64KB)
+
+
+def _gather_route_kernel_m(hi_ref, val_ref, route_ref, xq_ref, out_ref,
+                           *, C: int):
+    """Multi-column gather+route: xq_ref stacks KB column tiles
+    ((KB*C*128, 128)); column c's routed products land in out lanes
+    [c*128, (c+1)*128)."""
+    xq = xq_ref[...]
+    for j in range(U1M):
+        sl = slice(j * 128, (j + 1) * 128)
+        hi = hi_ref[sl, :]
+        idx = hi & 127
+        val = val_ref[sl, :]
+        r = route_ref[sl, :].astype(jnp.int32)
+        ridx = jnp.maximum(r, 0)
+        rmask = r >= 0
+        for c in range(KB):
+            base = c * C * 128
+            xv = jnp.take_along_axis(xq[base:base + 128, :], idx, axis=1)
+            for t in range(1, C):
+                xt = jnp.take_along_axis(
+                    xq[base + t * 128:base + (t + 1) * 128, :], idx,
+                    axis=1)
+                xv = jnp.where((hi >> 7) == t, xt, xv)
+            prod = (val * xv).T
+            routed = jnp.take_along_axis(prod, ridx, axis=1)
+            out_ref[sl, c * 128:(c + 1) * 128] = jnp.where(
+                rmask, routed, 0.0)
+
+
+def _sum_kernel_m(r0s_ref, z_ref, y_ref):
+    """Sublane sums of group-pure SB-row sub-blocks, KB columns wide."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    z = z_ref[...]                              # (U2*SB, KB*128)
+    iota8 = lax.broadcasted_iota(jnp.int32, (8, KB * 128), 0)
+    for u in range(U2):
+        blk = z[u * SB:(u + 1) * SB, :]
+        y_win = jnp.sum(blk, axis=0, keepdims=True)
+        g = r0s_ref[i * U2 + u] >> 7
+        s = pl.multiple_of(g & (-8), 8)
+        y8 = jnp.where(iota8 == (g & 7), y_win, 0.0)
+        y_ref[pl.ds(s, 8), :] += y8
+
+
+@functools.partial(jax.jit, static_argnames=("plan_static", "interpret"))
+def _spmm_routed_call(hi_tbl, val_tbl, route_tbl, r0s, xb,
+                      plan_static, interpret=False):
+    """Y[:, :KB] = A @ xb for one KB-column block (xb: (n, KB) f32)."""
+    m, n, NL, _, nsteps2, R, C = plan_static
+    nsteps1m = max(_ceil_div(NL, U1M * 128), 1)
+    m128 = 128 // R
+    n_pad = C * 128 * m128
+    xp = xb.astype(jnp.float32)
+    if n < n_pad:
+        xp = jnp.concatenate(
+            [xp, jnp.zeros((n_pad - n, KB), jnp.float32)], axis=0)
+    # (KB, C, m128, 128) -> repeat classes R times -> (KB*C*128, 128)
+    xq = jnp.tile(xp.T.reshape(KB, C, 128, m128).transpose(0, 1, 3, 2),
+                  (1, 1, R, 1)).reshape(KB * C * 128, 128)
+
+    z = pl.pallas_call(
+        functools.partial(_gather_route_kernel_m, C=C),
+        grid=(nsteps1m,),
+        in_specs=[
+            pl.BlockSpec((U1M * 128, 128), lambda i: (i, 0)),
+            pl.BlockSpec((U1M * 128, 128), lambda i: (i, 0)),
+            pl.BlockSpec((U1M * 128, 128), lambda i: (i, 0)),
+            pl.BlockSpec((KB * C * 128, 128), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((U1M * 128, KB * 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (nsteps1m * U1M * 128, KB * 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+        interpret=interpret,
+    )(hi_tbl, val_tbl, route_tbl, xq)
+
+    G_pad = _round_up(_ceil_div(m, 128), 8)
+    NL2 = nsteps2 * SB * U2
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps2,),
+        in_specs=[pl.BlockSpec((SB * U2, KB * 128), lambda i, r: (i, 0))],
+        out_specs=pl.BlockSpec((G_pad, KB * 128), lambda i, r: (0, 0)),
+    )
+    y = pl.pallas_call(
+        _sum_kernel_m,
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((G_pad, KB * 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+        interpret=interpret,
+    )(r0s, z[:NL2])
+    # (G_pad, KB, 128) -> (m, KB)
+    yk = y.reshape(G_pad, KB, 128).transpose(1, 0, 2).reshape(
+        KB, G_pad * 128)[:, :m]
+    return yk.T
+
+
+def spmm_routed(x, plan: SpmvRoutedPlan, interpret: bool = False):
+    """Y = A @ X for dense X (n, k) over the fixed-structure plan —
+    the cuSPARSE SpMM analogue (cusparse.py:1440-1514) at SpMV's
+    per-entry cost: the routing tables stream once per KB-column block
+    instead of once per column."""
+    n, k = x.shape
+    ps = (plan.m, plan.n, plan.NL, plan.nsteps1, plan.nsteps2,
+          plan.R, plan.C)
+    k_pad = _round_up(max(k, 1), KB)
+    if k_pad != k:
+        x = jnp.concatenate(
+            [x, jnp.zeros((n, k_pad - k), x.dtype)], axis=1)
+    outs = []
+    for b in range(k_pad // KB):
+        outs.append(_spmm_routed_call(
+            plan.hi_tbl, plan.val_tbl, plan.route_tbl, plan.r0s,
+            x[:, b * KB:(b + 1) * KB], ps, interpret))
+    y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return y[:, :k]

@@ -67,8 +67,14 @@ def _bsr_spmm(indptr, indices, blocks, b, alpha):
     return alpha * out.reshape(mb * R, n)
 
 
-def spmm(a, b, alpha=1.0, transa: bool = False, via: str = "csr"):
-    """C = alpha * op(A) @ B with A sparse, B dense 2-D."""
+def spmm(a, b, alpha=1.0, transa: bool = False, via: str = "csr",
+         plan=None):
+    """C = alpha * op(A) @ B with A sparse, B dense 2-D.
+
+    `plan` may carry a `spmv_plan(a)` routed plan — the SpMM analogue
+    of cuSPARSE's descriptor reuse (cusparse.py:1440-1514): A's routing
+    tables stream once per 8-column block of B instead of per column
+    (kernels/spmv_routed.spmm_routed)."""
     from spmm_tpu.sparse.base import issparse
     from spmm_tpu.sparse.bsr import BSR
 
@@ -82,6 +88,11 @@ def spmm(a, b, alpha=1.0, transa: bool = False, via: str = "csr"):
     if a.shape[1] != b.shape[0]:
         raise ValueError(f"dimension mismatch: {a.shape} @ {b.shape}")
     alpha = jnp.asarray(alpha, a.dtype)
+    if (plan is not None and isinstance(plan, tuple) and len(plan) == 2
+            and plan[0] == "routed" and not transa):
+        from spmm_tpu.ops.kernels.spmv_routed import spmm_routed
+
+        return alpha * spmm_routed(b, plan[1])
     if via == "dense":
         return _dense_spmm(a.tocsr().toarray(), b, alpha)
     if via == "bsr_pallas":

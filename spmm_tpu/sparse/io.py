@@ -72,3 +72,45 @@ def csrs_txt_equal(prefix_a: str, prefix_b: str) -> bool:
         and np.array_equal(np.asarray(a.indices), np.asarray(b.indices))
         and np.array_equal(np.asarray(a.data), np.asarray(b.data))
     )
+
+
+def save_spmv_plan(path: str, plan) -> None:
+    """Persist a tagged `spmv_plan` result (the routed plan's
+    edge-coloring analysis costs seconds at 1M nnz — serving setups
+    build it once and reload; the analogue of persisting cuSPARSE's
+    analysis buffers, which CUDA cannot do but a host-side plan can)."""
+    tag, p = plan
+    arrays = {f"f_{name}": np.asarray(v) if hasattr(v, "shape") else v
+              for name, v in zip(p._fields, p)}
+    scalars = {k: v for k, v in arrays.items()
+               if not isinstance(v, np.ndarray)}
+    tensors = {k: v for k, v in arrays.items()
+               if isinstance(v, np.ndarray)}
+    np.savez(path, plan_tag=tag, plan_cls=type(p).__name__,
+             scalar_names=np.array(sorted(scalars)),
+             scalar_vals=np.array([scalars[k] for k in sorted(scalars)],
+                                  np.int64),
+             **tensors)
+
+
+def load_spmv_plan(path: str):
+    """Inverse of `save_spmv_plan`; returns the tagged plan tuple."""
+    import jax.numpy as jnp
+
+    from spmm_tpu.ops.kernels.spmv_binned import SpmvBinnedPlan
+    from spmm_tpu.ops.kernels.spmv_routed import SpmvRoutedPlan
+
+    with np.load(path) as f:
+        tag = str(f["plan_tag"])
+        cls = {"SpmvRoutedPlan": SpmvRoutedPlan,
+               "SpmvBinnedPlan": SpmvBinnedPlan}[str(f["plan_cls"])]
+        scalars = dict(zip((str(s) for s in f["scalar_names"]),
+                           (int(v) for v in f["scalar_vals"])))
+        kwargs = {}
+        for name in cls._fields:
+            key = f"f_{name}"
+            if key in scalars:
+                kwargs[name] = scalars[key]
+            else:
+                kwargs[name] = jnp.asarray(f[key])
+        return (tag, cls(**kwargs))

@@ -62,3 +62,26 @@ def test_text_format_matches_reference_protocol(tmp_path, mat):
     assert all(l.lstrip("-").isdigit() for l in lines)
     dlines = open(prefix + "_data.txt").read().splitlines()
     assert len(dlines) == mat.nnz
+
+
+def test_spmv_plan_roundtrip(tmp_path):
+    """Routed/binned serving plans persist (analysis is seconds at
+    scale — serving setups build once and reload)."""
+    import jax.numpy as jnp
+    import spmm_tpu as st
+    from spmm_tpu.ops.kernels.spmv_routed import (spmv_routed,
+                                                  spmv_routed_plan)
+    from spmm_tpu.sparse.io import load_spmv_plan, save_spmv_plan
+
+    a = st.random(200, 180, 0.05, format="csr", random_state=4)
+    plan = spmv_routed_plan(np.asarray(a.indptr), np.asarray(a.indices),
+                            np.asarray(a.data), 200, 180)
+    p = str(tmp_path / "plan.npz")
+    save_spmv_plan(p, ("routed", plan))
+    tag, plan2 = load_spmv_plan(p)
+    assert tag == "routed"
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(180)
+                    .astype(np.float32))
+    y1 = np.asarray(spmv_routed(x, plan, interpret=True))
+    y2 = np.asarray(spmv_routed(x, plan2, interpret=True))
+    assert np.array_equal(y1.view(np.uint32), y2.view(np.uint32))
