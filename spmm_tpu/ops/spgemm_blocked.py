@@ -17,18 +17,26 @@ re-architected as tiled dense-intermediate pipelines with sparse output:
   alg3 (chunked):   nothing is ever fully dense — A is densified one
       128-row tile at a time and B one column panel at a time, with the
       panel width set by `chunk_fraction` (the exact knob semantics of
-      `cusparseSpGEMM_estimateMemory`): peak workspace
-      O(128·k + k·n_b + 128·n_b), n_b ≈ chunk_fraction · n.  Slowest of
-      the three (A tiles are re-densified once per panel), mirroring the
+      `cusparseSpGEMM_estimateMemory`): peak dense workspace
+      O(128·k + k·n_b + 128·n_b), n_b ≈ chunk_fraction · n (plus the
+      O(nnz_C)-sized compacted block outputs).  Slowest of the three
+      (A tiles are re-densified once per panel), mirroring the
       reference's time↔memory hierarchy (BASELINE.md: ALG1 fastest/most
       memory … ALG3 slowest/least).
 
-Both run as two XLA programs with a single host sizing readback between
-them (the analogue of `workEstimation` → `spMatGetSize` → `compute`), use
-only fixed-order reductions (MXU k-order, stable sorts), and are
-deterministic run-to-run.  Expand-sort-compress (ops/spgemm alg2/3
-`impl="esc"`) remains the fallback for shapes/densities where any dense
-intermediate is infeasible.
+alg2 runs as two XLA programs with a single host sizing readback between
+them (the analogue of `workEstimation` → `spMatGetSize` → `compute`).
+alg3 has two engines: an *unrolled* fast path (T·P ≤ MAX_UNROLL_BLOCKS)
+that resolves the exact output structure on the host at plan time — like
+the serving path — and then runs ONE device program with zero host syncs,
+each block densified by the Pallas one-hot kernel under a static
+per-tile/per-panel plan (measured 3.0 ms vs the scan engine's 26 ms at
+1024²/0.1 on v5e, vs reference ALG3 3.81 ms); and the original scan
+pipeline (device sizing pass + scan over blocks) for larger block grids.
+Both use only fixed-order reductions (MXU k-order, stable sorts) and are
+deterministic run-to-run; the two alg3 engines are bitwise-identical.
+Expand-sort-compress (ops/spgemm alg2/3 `impl="esc"`) remains the
+fallback for shapes/densities where any dense intermediate is infeasible.
 """
 
 from __future__ import annotations
@@ -354,9 +362,226 @@ def _alg3_compute(a_off, a_end, a_colv, a_val, b_off, b_end, b_rowv,
     return indptr, col_s[:nnz], alpha * val_s[:nnz]
 
 
+# ---------------------------------------------------------------------------
+# ALG3 unrolled fast path: host-exact sizing + Pallas one-hot block densify
+# ---------------------------------------------------------------------------
+
+# compile-time bound: each block inlines two densifies, two dots and a
+# compaction sort; past this the scan pipeline takes over
+MAX_UNROLL_BLOCKS = 160
+
+
+def _alg3_host_structure(a, b, n_b: int, P: int, T: int):
+    """Exact output structure + per-(panel, tile) counts on the host — the
+    sizing analogue of the reference's estimateMemory/spMatGetSize
+    (cusparse.py:2095-2130) resolved at plan time, like the serving path.
+    Eliminates the device count program and the sizing host-sync."""
+    from spmm_tpu.ops.serving import _structural_product
+
+    indptr_h, indices_h, flat = _structural_product(a, b)
+    n = b.shape[1]
+    rows = (flat // n).astype(np.int64)
+    cols = (flat % n).astype(np.int64)
+    key = (cols // n_b) * T + rows // TILE
+    blockc = np.bincount(key, minlength=P * T).reshape(P, T)
+    return indptr_h, blockc
+
+
+def _tile_onehot_plan(indptr_local_h, rows: int, cols: int, dtype,
+                      interpret: bool):
+    if not interpret and jax.default_backend() != "tpu":
+        return None
+    if jnp.dtype(dtype) != jnp.float32:
+        return None
+    from spmm_tpu.ops.kernels.densify_onehot import densify_onehot_plan
+
+    return densify_onehot_plan(indptr_local_h, rows, cols)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "k", "n", "n_b", "T", "P", "cap_blk", "cap_tile",
+                     "nnz", "precision", "tiles_meta", "panels_meta",
+                     "interpret"))
+def _alg3_compute_unrolled(a_indptr_pad, a_indices, a_data, b_ip_panels,
+                           b_lcol, b_data, b_rank, alpha, m: int, k: int,
+                           n: int, n_b: int, T: int, P: int, cap_blk: int,
+                           cap_tile: int, nnz: int, precision: str,
+                           tiles_meta, panels_meta, interpret: bool = False):
+    """Single-program chunked SpGEMM (sizes all static from the host plan).
+
+    Unrolled (panel, tile) blocks so each block's densify rides the Pallas
+    one-hot kernel with its own static plan (tiles_meta/panels_meta hold
+    static entry bounds + plans).  A's tile densify is re-done per panel —
+    the memory contract (never a full dense A) — with an opaque zero token
+    threaded through the indices so XLA cannot CSE the repeats back into a
+    resident full-A dense.  Output assembly: per-block compaction sorts,
+    then one fused-key sort per row tile + contiguous dynamic-update-slice
+    merges (tile outputs are contiguous in CSR order), replacing the
+    global lexsort of the scan pipeline."""
+    from spmm_tpu.ops.kernels.densify_onehot import densify_onehot
+
+    prec = _PREC[precision]
+    nI = jnp.asarray(n, INDEX_DTYPE)
+    BIG = jnp.asarray(TILE * n, INDEX_DTYPE)
+
+    # panel-major value permutation (host-built rank), in-program: a sort
+    # by a bijective key beats TPU's serialized gather
+    _, b_vals = lax.sort((b_rank, b_data), num_keys=1, is_stable=True)
+
+    def dens_a(t: int, tok):
+        e0, e1, plan = tiles_meta[t]
+        if e1 == e0:
+            return (jnp.zeros((TILE, k), a_data.dtype),
+                    jnp.zeros((TILE, k), jnp.bfloat16))
+        ipt = (lax.slice(a_indptr_pad, (t * TILE,), (t * TILE + TILE + 1,))
+               - jnp.asarray(e0, INDEX_DTYPE))
+        ixt = lax.slice(a_indices, (e0,), (e1,)) + tok
+        dvt = lax.slice(a_data, (e0,), (e1,))
+        if plan is not None:
+            return densify_onehot(ipt, ixt, dvt, TILE, k, plan, interpret)
+        vd = _value_dense(ipt, ixt, dvt, TILE, k)
+        pat = _pattern_dense(ipt, ixt, e1 - e0, TILE, k)
+        return vd, pat
+
+    def dens_b(p: int):
+        b0, b1, plan = panels_meta[p]
+        if b1 == b0:
+            return (jnp.zeros((k, n_b), b_data.dtype),
+                    jnp.zeros((k, n_b), jnp.bfloat16))
+        ipp = b_ip_panels[p]
+        ixp = lax.slice(b_lcol, (b0,), (b1,))
+        dvp = lax.slice(b_vals, (b0,), (b1,))
+        if plan is not None:
+            return densify_onehot(ipp, ixp, dvp, k, n_b, plan, interpret)
+        vd = _value_dense(ipp, ixp, dvp, k, n_b)
+        pat = _pattern_dense(ipp, ixp, b1 - b0, k, n_b)
+        return vd, pat
+
+    idx_blk = jnp.arange(TILE * n_b, dtype=INDEX_DTYPE)
+    valid_i = jnp.arange(cap_blk, dtype=INDEX_DTYPE)
+    blocks = [[None] * T for _ in range(P)]
+    tok = jnp.zeros((), INDEX_DTYPE)
+    for p in range(P):
+        bd, bpat = dens_b(p)
+        for t in range(T):
+            ad, apat = dens_a(t, tok)
+            ct = jnp.dot(ad, bd, precision=prec,
+                         preferred_element_type=a_data.dtype)
+            counts = jnp.dot(apat, bpat,
+                             preferred_element_type=jnp.float32)
+            mask = (counts > 0).ravel()
+            nnz_b = jnp.sum(mask, dtype=INDEX_DTYPE)
+            keys = jnp.where(mask, jnp.int8(0), jnp.int8(1))
+            _, flat_s, val_s = lax.sort((keys, idx_blk, ct.ravel()),
+                                        num_keys=1, is_stable=True)
+            flat_c = flat_s[:cap_blk]
+            gflat = (flat_c // jnp.asarray(n_b, INDEX_DTYPE)) * nI \
+                + flat_c % jnp.asarray(n_b, INDEX_DTYPE) \
+                + jnp.asarray(p * n_b, INDEX_DTYPE)
+            gflat = jnp.where(valid_i < nnz_b, gflat, BIG)
+            blocks[p][t] = (gflat, val_s[:cap_blk], nnz_b)
+            # opaque zero (sign bit of a nonnegative count): makes the next
+            # panel's A-tile densify a distinct computation, defeating CSE
+            tok = lax.shift_right_arithmetic(nnz_b, 31)
+
+    # per-tile merge: a tile's entries are contiguous in the output and
+    # its P blocks are column-disjoint, so one fused-flat sort per tile
+    # yields final row-major order; ascending dynamic-update-slices let
+    # each tile overwrite the previous tile's padding garbage
+    cols_t, vals_t, nnz_ts = [], [], []
+    for t in range(T):
+        gf = jnp.concatenate([blocks[p][t][0] for p in range(P)])
+        vv = jnp.concatenate([blocks[p][t][1] for p in range(P)])
+        gf_s, vv_s = lax.sort((gf, vv), num_keys=1, is_stable=True)
+        cols_t.append(gf_s[:cap_tile] % nI)
+        vals_t.append(vv_s[:cap_tile])
+        nnz_ts.append(sum(blocks[p][t][2] for p in range(P)))
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), INDEX_DTYPE),
+         jnp.cumsum(jnp.stack(nnz_ts), dtype=INDEX_DTYPE)])
+    colbuf = jnp.zeros((nnz + cap_tile,), INDEX_DTYPE)
+    valbuf = jnp.zeros((nnz + cap_tile,), a_data.dtype)
+    for t in range(T):
+        colbuf = lax.dynamic_update_slice(colbuf, cols_t[t], (offs[t],))
+        valbuf = lax.dynamic_update_slice(valbuf, vals_t[t], (offs[t],))
+    return colbuf[:nnz], alpha * valbuf[:nnz]
+
+
+def _spgemm_alg3_unrolled(a, b, alpha, n_b: int, P: int, T: int,
+                          m_pad: int, precision: str, verbose: bool,
+                          interpret: bool):
+    from spmm_tpu.sparse.csr import CSR
+    from spmm_tpu.ops.spgemm import _empty_csr
+
+    m, k = a.shape
+    n = b.shape[1]
+    indptr_h, blockc = _alg3_host_structure(a, b, n_b, P, T)
+    nnz = int(indptr_h[-1])
+    if nnz == 0:
+        return _empty_csr(m, n, a.dtype)
+    cap_blk = max(_round_up(int(blockc.max()), 8), 8)
+    cap_tile = max(_round_up(int(blockc.sum(axis=0).max()), 8), 8)
+
+    a_indptr_h = np.asarray(a.indptr)
+    if m_pad != m:
+        a_indptr_h = np.concatenate(
+            [a_indptr_h, np.full((m_pad - m,), a_indptr_h[-1],
+                                 a_indptr_h.dtype)])
+    tiles_meta = []
+    for t in range(T):
+        e0 = int(a_indptr_h[t * TILE])
+        e1 = int(a_indptr_h[(t + 1) * TILE])
+        local = (a_indptr_h[t * TILE:(t + 1) * TILE + 1] - e0).astype(
+            np.int64)
+        plan = (_tile_onehot_plan(local, TILE, k, a.dtype, interpret)
+                if e1 > e0 else None)
+        tiles_meta.append((e0, e1, plan))
+
+    b_indptr_h = np.asarray(b.indptr)
+    b_cols_h = np.asarray(b.indices)
+    b_rows_h = np.repeat(np.arange(k, dtype=np.int64), np.diff(b_indptr_h))
+    panel_of = b_cols_h // n_b
+    order = np.argsort(panel_of, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(order.shape[0])
+    b_lcol_h = (b_cols_h % n_b)[order].astype(np.int32)
+    b_rows_srt = b_rows_h[order]
+    b_bounds = np.concatenate(
+        [[0], np.cumsum(np.bincount(panel_of, minlength=P))]).astype(
+        np.int64)
+    panels_meta = []
+    b_ip_panels = np.zeros((P, k + 1), np.int32)
+    for p in range(P):
+        b0, b1 = int(b_bounds[p]), int(b_bounds[p + 1])
+        ipp = np.concatenate(
+            [[0], np.cumsum(np.bincount(b_rows_srt[b0:b1], minlength=k))]
+        ).astype(np.int64)
+        b_ip_panels[p] = ipp
+        plan = (_tile_onehot_plan(ipp, k, n_b, b.dtype, interpret)
+                if b1 > b0 else None)
+        panels_meta.append((b0, b1, plan))
+
+    if verbose:
+        print(f"[spgemm alg3/blocked] unrolled T={T} P={P} n_b={n_b} "
+              f"cap_blk={cap_blk} cap_tile={cap_tile} nnz={nnz} onehot="
+              f"{sum(pl is not None for _, _, pl in tiles_meta)}a/"
+              f"{sum(pl is not None for _, _, pl in panels_meta)}b")
+    cols, vals = _alg3_compute_unrolled(
+        jnp.asarray(a_indptr_h, INDEX_DTYPE), a.indices, a.data,
+        jnp.asarray(b_ip_panels), jnp.asarray(b_lcol_h),
+        b.data, jnp.asarray(rank.astype(np.int32)),
+        jnp.asarray(alpha, a.dtype), m, k, n, n_b, T, P, cap_blk,
+        cap_tile, nnz, precision, tuple(tiles_meta), tuple(panels_meta),
+        interpret)
+    return CSR.from_parts(jnp.asarray(indptr_h, INDEX_DTYPE), cols, vals,
+                          (m, n), canonical=True)
+
+
 def spgemm_alg3_blocked(a, b, alpha, chunk_fraction: float,
                         precision: str = "highest",
-                        verbose: bool = False):
+                        verbose: bool = False, unroll=None,
+                        interpret: bool = False):
     """Chunked low-memory blocked SpGEMM; see module docstring."""
     from spmm_tpu.sparse.csr import CSR
     from spmm_tpu.ops.spgemm import _empty_csr
@@ -372,6 +597,14 @@ def spgemm_alg3_blocked(a, b, alpha, chunk_fraction: float,
     P = -(-n_pad // n_b)
     m_pad = _round_up(max(m, 1), TILE)
     T = m_pad // TILE
+
+    if unroll is None:
+        unroll = (T * P <= MAX_UNROLL_BLOCKS
+                  and TILE * (n_pad + 1) < 2**31
+                  and a.nnz > 0 and b.nnz > 0)
+    if unroll:
+        return _spgemm_alg3_unrolled(a, b, alpha, n_b, P, T, m_pad,
+                                     precision, verbose, interpret)
 
     # --- host-side entry-run plans (one indptr/indices readback each,
     # the same granularity as the ESC sizing passes) ---

@@ -197,6 +197,42 @@ def test_alg3_blocked_chunk_fraction_struct_invariant():
                                    rtol=2e-5, atol=1e-6)
 
 
+def test_alg3_blocked_unrolled_matches_scan_bitwise():
+    """The unrolled single-program alg3 (host-exact sizing, per-tile
+    merges) and the scan pipeline build bitwise-identical dense blocks and
+    contract them with the same full-k HIGHEST dots, so their outputs are
+    bitwise equal — structure and values."""
+    from spmm_tpu.ops.spgemm_blocked import spgemm_alg3_blocked
+
+    A, B, _, _ = make_pair(300, 200, 260, 0.1, 0.1)
+    for cf in (0.2, 0.6):
+        Cu = spgemm_alg3_blocked(A, B, 1.0, cf, unroll=True)
+        Cs = spgemm_alg3_blocked(A, B, 1.0, cf, unroll=False)
+        np.testing.assert_array_equal(np.asarray(Cu.indptr),
+                                      np.asarray(Cs.indptr))
+        np.testing.assert_array_equal(np.asarray(Cu.indices),
+                                      np.asarray(Cs.indices))
+        np.testing.assert_array_equal(
+            np.asarray(Cu.data).view(np.uint32),
+            np.asarray(Cs.data).view(np.uint32))
+
+
+def test_alg3_blocked_unrolled_onehot_interpret():
+    """The Pallas one-hot densify inside the unrolled alg3 (interpret mode
+    on CPU; compiled on real TPU) matches the scatter fallback bitwise."""
+    from spmm_tpu.ops.spgemm_blocked import spgemm_alg3_blocked
+
+    A, B, As, Bs = make_pair(256, 256, 256, 0.12, 0.12)
+    ref = (As @ Bs).tocsr()
+    ref.sort_indices()
+    Ci = spgemm_alg3_blocked(A, B, 1.0, 0.4, interpret=True)
+    Cs = spgemm_alg3_blocked(A, B, 1.0, 0.4, interpret=False)
+    np.testing.assert_array_equal(np.asarray(Ci.indptr), ref.indptr)
+    np.testing.assert_array_equal(np.asarray(Ci.indices), ref.indices)
+    np.testing.assert_array_equal(np.asarray(Ci.data).view(np.uint32),
+                                  np.asarray(Cs.data).view(np.uint32))
+
+
 def test_spgemm_fixed_canonicalizes_inputs():
     # Non-canonical (unsorted, duplicated) inputs must be canonicalized
     # before the densify scatters (reference asserts has_canonical_format;
