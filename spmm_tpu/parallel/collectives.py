@@ -92,6 +92,54 @@ def psum_dense(x, mesh: Mesh, axis: str):
     return prog(x)
 
 
+def reduce_scatter_dense(x, mesh: Mesh, axis: str):
+    """Dense reduce-scatter (`NCCLBackend.reduce_scatter`,
+    _nccl_comm.py:139-307): shard d receives rows [d·m/D, (d+1)·m/D) of
+    the elementwise sum of every shard's contribution.
+
+    `x`: (D, m, ...) stacked per-shard contributions (laid out along the
+    mesh axis by shard_map); returns the (m, ...) sum laid out row-sharded
+    along the same axis — one `lax.psum_scatter` riding ICI.
+    """
+    D = mesh.shape[axis]
+    if x.shape[0] != D:
+        raise ValueError(f"need one contribution per shard ({D}), "
+                         f"got {x.shape[0]}")
+    if x.shape[1] % D:
+        raise ValueError(f"rows {x.shape[1]} not divisible by {D} shards")
+
+    def build():
+        @functools.partial(shard_map, mesh=mesh, in_specs=P(axis),
+                           out_specs=P(axis))
+        def step(blk):
+            return jax.lax.psum_scatter(blk[0], axis,
+                                        scatter_dimension=0, tiled=True)
+
+        return step
+
+    prog = _cached_program_local(("reduce_scatter_dense", mesh, axis),
+                                 build)
+    return prog(x)
+
+
+def reduce_scatter_csr(mats, mesh: Mesh, axis: str, cap=None):
+    """Sparse reduce-scatter: shard d receives row-block d of the summed
+    CSR.  The reference exposes reduce_scatter for dense arrays only; the
+    sparse analogue here follows its sparse all_reduce recipe
+    (reduce + redistribute, _nccl_comm.py:598-604): the deterministic
+    replicated sparse sum, then the O(1)-metadata row-block split (sparse
+    row extents are runtime values, so the scatter step is a local slice
+    of the replicated sum — the padded-wire analogue of reduce +
+    scatterv).  Returns the list of D row-block CSRs in shard order."""
+    D = mesh.shape[axis]
+    s = all_reduce_csr(mats, mesh, axis, cap)
+    m = s.shape[0]
+    if m % D:
+        raise ValueError(f"rows {m} not divisible by {D} shards")
+    r = m // D
+    return [s[d * r:(d + 1) * r] for d in range(D)]
+
+
 # ---------------------------------------------------------------------------
 # sparse p2p / collectives over padded components
 #

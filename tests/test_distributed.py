@@ -262,3 +262,35 @@ def test_sparse_send_recv_scatter_gather(mesh):
     for d in range(D):
         np.testing.assert_array_equal(np.asarray(back[d].toarray()),
                                       np.asarray(mats[d].toarray()))
+
+
+def test_reduce_scatter_dense(mesh):
+    """Dense reduce-scatter (`NCCLBackend.reduce_scatter`): shard d
+    receives its row block of the elementwise sum, via one
+    lax.psum_scatter on the mesh axis."""
+    D = mesh.shape["rows"]
+    rng = np.random.default_rng(5)
+    x = rng.random((D, D * 6, 13), dtype=np.float32)
+    got = pp.collectives.reduce_scatter_dense(jnp.asarray(x), mesh, "rows")
+    np.testing.assert_allclose(np.asarray(got), x.sum(axis=0), rtol=1e-6)
+
+
+def test_reduce_scatter_csr(mesh):
+    """Sparse reduce-scatter: shard d receives row-block d of the summed
+    CSR (deterministic replicated sparse sum + O(1) row-block split)."""
+    D = mesh.shape["rows"]
+    m = D * 8
+    mats = [st.random(m, 21, 0.15, format="csr", random_state=10 + i)
+            for i in range(D)]
+    blocks = pp.collectives.reduce_scatter_csr(mats, mesh, "rows")
+    ref = sum((a.to_scipy() for a in mats[1:]), mats[0].to_scipy()).tocsr()
+    ref.sum_duplicates()
+    ref.sort_indices()
+    assert len(blocks) == D
+    r = m // D
+    for d, blk in enumerate(blocks):
+        rb = ref[d * r:(d + 1) * r]
+        np.testing.assert_array_equal(np.asarray(blk.indptr), rb.indptr)
+        np.testing.assert_array_equal(np.asarray(blk.indices), rb.indices)
+        np.testing.assert_allclose(np.asarray(blk.data), rb.data,
+                                   rtol=1e-6)
