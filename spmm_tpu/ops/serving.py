@@ -128,8 +128,8 @@ def _expand_args(p: Optional[ExpandPlan], indptr, indices, m, k):
     return None, (jnp.asarray(flat.astype(np.int32)),)
 
 
-@functools.partial(jax.jit, static_argnames=("meta",))
-def _serve(a_vals, b_vals, alpha, pa_arr, pb_arr, pc_arr, meta: _ServeMeta):
+def _serve_body(a_vals, b_vals, alpha, pa_arr, pb_arr, pc_arr,
+                meta: _ServeMeta):
     m, k, n = meta.m, meta.k, meta.n
 
     def dens(vals, pm, arr, rows, cols):
@@ -153,6 +153,40 @@ def _serve(a_vals, b_vals, alpha, pa_arr, pb_arr, pc_arr, meta: _ServeMeta):
         return _compress_call(c, *pc_arr, *meta.pc, meta.cap,
                               meta.interpret)
     return jnp.take(c.reshape(m * n), pc_arr[0])
+
+
+@functools.partial(jax.jit, static_argnames=("meta",))
+def _serve(a_vals, b_vals, alpha, pa_arr, pb_arr, pc_arr, meta: _ServeMeta):
+    return _serve_body(a_vals, b_vals, alpha, pa_arr, pb_arr, pc_arr, meta)
+
+
+@functools.partial(jax.jit, static_argnames=("meta",), donate_argnums=(0,))
+def _serve_acc(c_prev, a_vals, b_vals, alpha, beta,
+               pa_arr, pb_arr, pc_arr, meta: _ServeMeta):
+    """C_vals <- beta * C_prev + alpha * extract(A @ B), with C_prev
+    DONATED: XLA aliases the output value buffer onto the input's HBM
+    (the workspace-reuse pattern of cuSPARSE callers that hold one C
+    buffer across repeated numeric phases)."""
+    return (beta * c_prev
+            + _serve_body(a_vals, b_vals, alpha, pa_arr, pb_arr, pc_arr,
+                          meta))
+
+
+@functools.partial(jax.jit, static_argnames=("meta",))
+def _serve_batch(a_vals, b_vals, alphas, pa_arr, pb_arr, pc_arr,
+                 meta: _ServeMeta):
+    """K multiplies in ONE program: scan over stacked value arrays.
+    XLA keeps a single set of dense workspaces live across iterations
+    (one ad + one bd + one c allocation for the whole batch — the
+    buffer-reuse behaviour the reference gets from the CuPy memory
+    pool), and the single dispatch amortizes per-call host latency."""
+
+    def body(_, av_bv_al):
+        av, bv, al = av_bv_al
+        return (), _serve_body(av, bv, al, pa_arr, pb_arr, pc_arr, meta)
+
+    _, out = jax.lax.scan(body, (), (a_vals, b_vals, alphas))
+    return out
 
 
 class SpgemmPlan:
@@ -212,11 +246,7 @@ class SpgemmPlan:
     def __call__(self, a_data, b_data, alpha=1.0):
         from spmm_tpu.sparse.csr import CSR
 
-        if a_data.shape[0] != self.nnz_a or b_data.shape[0] != self.nnz_b:
-            raise ValueError(
-                f"value array sizes {a_data.shape[0]}/{b_data.shape[0]} do "
-                f"not match the planned structures "
-                f"{self.nnz_a}/{self.nnz_b}")
+        self._check_sizes(a_data, b_data)
         vals = _serve(a_data, b_data,
                       jnp.asarray(alpha, jnp.float32),
                       self._pa_arr, self._pb_arr, self._pc_arr, self._meta)
@@ -229,6 +259,52 @@ class SpgemmPlan:
         product for pipelines that keep the static structure elsewhere."""
         return _serve(a_data, b_data, jnp.asarray(alpha, jnp.float32),
                       self._pa_arr, self._pb_arr, self._pc_arr, self._meta)
+
+    def values_accumulate(self, c_vals, a_data, b_data, alpha=1.0,
+                          beta=1.0):
+        """C_vals <- beta * C_vals + alpha * (A @ B) over the planned
+        structure, with `c_vals` DONATED — the output aliases its HBM
+        buffer, so repeated accumulation serves with ONE persistent C
+        allocation (the cuSPARSE workspace-reuse pattern; after the call
+        the passed-in array is invalidated, use the returned one)."""
+        self._check_sizes(a_data, b_data)
+        if c_vals.shape[0] != self.nnz:
+            raise ValueError(
+                f"c_vals size {c_vals.shape[0]} != planned nnz {self.nnz}")
+        return _serve_acc(c_vals, a_data, b_data,
+                          jnp.asarray(alpha, jnp.float32),
+                          jnp.asarray(beta, jnp.float32),
+                          self._pa_arr, self._pb_arr, self._pc_arr,
+                          self._meta)
+
+    def values_batch(self, a_vals, b_vals, alpha=1.0):
+        """(K, nnz_a) x (K, nnz_b) -> (K, nnz): K multiplies in one
+        device program (lax.scan), one set of dense workspaces for the
+        whole batch and a single dispatch.  `alpha` may be a scalar or a
+        (K,) vector."""
+        if a_vals.ndim != 2 or b_vals.ndim != 2:
+            raise ValueError("values_batch expects stacked (K, nnz) arrays")
+        if a_vals.shape[0] != b_vals.shape[0]:
+            raise ValueError(
+                f"batch sizes differ: {a_vals.shape[0]} vs "
+                f"{b_vals.shape[0]}")
+        if a_vals.shape[1] != self.nnz_a or b_vals.shape[1] != self.nnz_b:
+            raise ValueError(
+                f"value array sizes {a_vals.shape[1]}/{b_vals.shape[1]} do "
+                f"not match the planned structures "
+                f"{self.nnz_a}/{self.nnz_b}")
+        K = a_vals.shape[0]
+        alphas = jnp.broadcast_to(
+            jnp.asarray(alpha, jnp.float32), (K,))
+        return _serve_batch(a_vals, b_vals, alphas, self._pa_arr,
+                            self._pb_arr, self._pc_arr, self._meta)
+
+    def _check_sizes(self, a_data, b_data):
+        if a_data.shape[0] != self.nnz_a or b_data.shape[0] != self.nnz_b:
+            raise ValueError(
+                f"value array sizes {a_data.shape[0]}/{b_data.shape[0]} do "
+                f"not match the planned structures "
+                f"{self.nnz_a}/{self.nnz_b}")
 
 
 def spgemm_plan(a, b, precision: str = "highest",

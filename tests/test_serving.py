@@ -149,3 +149,60 @@ def test_plan_validates_value_sizes():
     plan = spgemm_plan(A, B, interpret=True)
     with pytest.raises(ValueError, match="do not match"):
         plan(A.data[:-1], B.data)
+
+
+def test_plan_values_batch():
+    """K stacked value sets in one program == K sequential calls,
+    bitwise (same program body per step)."""
+    A, B = _pair(192, 192, 192, 0.1, 0.1, seed=5)
+    plan = spgemm_plan(A, B, interpret=True)
+    rng = np.random.default_rng(0)
+    K = 3
+    a_vals = jnp.asarray(rng.random((K, plan.nnz_a), dtype=np.float32))
+    b_vals = jnp.asarray(rng.random((K, plan.nnz_b), dtype=np.float32))
+    batch = np.asarray(plan.values_batch(a_vals, b_vals, alpha=2.0))
+    for i in range(K):
+        one = np.asarray(plan.values(a_vals[i], b_vals[i], alpha=2.0))
+        _assert_ulp_close(batch[i], one)
+
+
+def test_plan_values_batch_alpha_vector():
+    A, B = _pair(128, 128, 128, 0.1, 0.1, seed=9)
+    plan = spgemm_plan(A, B, interpret=True)
+    a_vals = jnp.stack([A.data, 2 * A.data])
+    b_vals = jnp.stack([B.data, B.data])
+    batch = np.asarray(plan.values_batch(
+        a_vals, b_vals, alpha=jnp.asarray([1.0, 0.5], jnp.float32)))
+    base = np.asarray(plan.values(A.data, B.data))
+    _assert_ulp_close(batch[0], base)
+    _assert_ulp_close(batch[1], base)  # 0.5 * (2A)@B == A@B
+
+
+def test_plan_values_batch_validates():
+    A, B = _pair(64, 64, 64, 0.1, 0.1, seed=11)
+    plan = spgemm_plan(A, B, interpret=True)
+    with pytest.raises(ValueError):
+        plan.values_batch(A.data, jnp.stack([B.data]))
+    with pytest.raises(ValueError):
+        plan.values_batch(jnp.stack([A.data]),
+                          jnp.stack([B.data, B.data]))
+    with pytest.raises(ValueError):
+        plan.values_batch(jnp.stack([A.data[:-1]]), jnp.stack([B.data]))
+
+
+def test_plan_values_accumulate():
+    """beta*C + alpha*A@B with the C buffer donated (workspace reuse)."""
+    A, B = _pair(160, 160, 160, 0.1, 0.1, seed=7)
+    plan = spgemm_plan(A, B, interpret=True)
+    base = np.asarray(plan.values(A.data, B.data))
+    c = jnp.zeros((plan.nnz,), jnp.float32)
+    c = plan.values_accumulate(c, A.data, B.data)          # C = A@B
+    c = plan.values_accumulate(c, A.data, B.data, alpha=1.0, beta=1.0)
+    got = np.asarray(c)
+    _assert_ulp_close(got, (2.0 * base).astype(np.float32))
+    c2 = plan.values_accumulate(jnp.asarray(base), A.data, B.data,
+                                alpha=-1.0, beta=1.0)      # C - A@B
+    assert np.max(np.abs(np.asarray(c2))) <= 1e-7 * np.max(np.abs(base))
+    with pytest.raises(ValueError):
+        plan.values_accumulate(jnp.zeros((plan.nnz + 1,), jnp.float32),
+                               A.data, B.data)
