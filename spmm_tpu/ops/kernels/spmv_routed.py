@@ -404,9 +404,13 @@ def spmv_routed_plan(indptr_host, indices_host, data_host,
         r0s=jnp.asarray(r0s))
 
 
-U1F = 1          # fused-kernel tiles per grid step (16 dynamic y
-#                  updates per tile; Mosaic compile time explodes past
-#                  ~32 dynamic stores per step — see CLAUDE.md)
+U1F = 2          # fused-kernel tiles per grid step.  Measured on v5e
+#                  (benchmarks/spmv_lab5.py): U1F=2 is 1.4-1.5x over
+#                  U1F=1 at 1M+ nnz (per-grid-step cost halves); U1F=4
+#                  regresses (31.9 vs 26.5 us at 1M nnz) and 64 dynamic
+#                  stores per step risks the Mosaic compile-time wall.
+#                  NLP is a multiple of U1*128=1024, so the U1F grid
+#                  divides the padded tables for any U1F <= 8.
 
 
 def _fused_kernel(r0s_ref, hi_ref, val_ref, route_ref, xq_ref, y_ref,
