@@ -81,7 +81,7 @@ def save_spmv_plan(path: str, plan) -> None:
     analysis buffers, which CUDA cannot do but a host-side plan can)."""
     tag, p = plan
     arrays = {f"f_{name}": np.asarray(v) if hasattr(v, "shape") else v
-              for name, v in zip(p._fields, p)}
+              for name, v in zip(p._fields, p) if v is not None}
     scalars = {k: v for k, v in arrays.items()
                if not isinstance(v, np.ndarray)}
     tensors = {k: v for k, v in arrays.items()
@@ -111,6 +111,7 @@ def load_spmv_plan(path: str):
             key = f"f_{name}"
             if key in scalars:
                 kwargs[name] = scalars[key]
-            else:
+            elif key in f:
                 kwargs[name] = jnp.asarray(f[key])
+            # else: optional field absent (None/default at save time)
         return (tag, cls(**kwargs))
