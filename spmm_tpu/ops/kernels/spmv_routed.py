@@ -390,7 +390,12 @@ def spmv_routed_plan(indptr_host, indices_host, data_host,
             else:
                 last_t = t
         cum = end
-    if int(Lp.sum()) <= (1.0 + SEG_PAD_FRAC) * int(Lu.sum()):
+    padded_slots = int(Lp.sum()) * SB * 128
+    if (int(Lp.sum()) <= (1.0 + SEG_PAD_FRAC) * int(Lu.sum())
+            and padded_slots <= 8 * max(nnz, 1)
+            and padded_slots <= (1 << 27)):
+        # skip the padding (not the plan) if it would bust the slot caps
+        # the un-padded plan just validated
         L_g = (Lp * SB).astype(L_g.dtype)
 
     lane_base = np.zeros(ngroups + 1, np.int64)
@@ -501,9 +506,13 @@ def _fused_kernel_seg(seg_ref, hi_ref, val_ref, route_ref, xq_ref, y_ref,
     """Boundary-split variant of `_fused_kernel`: the plan guarantees
     <= 2 group segments per 128-lane-row tile (consecutive groups), so
     the 16 per-sub-block masked dynamic y updates collapse to TWO —
-    segment 1 is a prefix-masked full-tile sum, segment 2 its exact
-    complement (total - prefix; bitwise 0 on group-pure tiles since
-    both trees are identical)."""
+    segment 1 is a prefix-masked full-tile sum, segment 2 a
+    suffix-masked sum (NOT total - prefix: subtracting the prefix from
+    the full-tile sum cancels catastrophically when the two groups'
+    magnitudes differ — measured 100% relative error on 1e8-vs-1e-4
+    scale splits; two direct masked reduces cost the same).  On
+    group-pure tiles the suffix mask is empty, so segment 2 adds an
+    exact +0.0."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -530,15 +539,15 @@ def _fused_kernel_seg(seg_ref, hi_ref, val_ref, route_ref, xq_ref, y_ref,
         w = seg_ref[i * U1F + j]
         g1 = w >> 5
         b8 = (w & 31) * SB
-        tot = jnp.sum(routed, axis=0, keepdims=True)
         c1 = jnp.sum(jnp.where(iota128 < b8, routed, 0.0), axis=0,
+                     keepdims=True)
+        c2 = jnp.sum(jnp.where(iota128 >= b8, routed, 0.0), axis=0,
                      keepdims=True)
         s1 = pl.multiple_of(g1 & (-8), 8)
         y_ref[pl.ds(s1, 8), :] += jnp.where(iota8 == (g1 & 7), c1, 0.0)
         g2 = jnp.minimum(g1 + 1, ngroups - 1)
         s2 = pl.multiple_of(g2 & (-8), 8)
-        y_ref[pl.ds(s2, 8), :] += jnp.where(iota8 == (g2 & 7), tot - c1,
-                                            0.0)
+        y_ref[pl.ds(s2, 8), :] += jnp.where(iota8 == (g2 & 7), c2, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("plan_static", "interpret"))

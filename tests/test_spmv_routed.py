@@ -79,6 +79,57 @@ def test_spmv_routed_empty():
     assert _plan(a) is None
 
 
+def _boundary_plan_case(lo_scale, hi_scale, seed=0):
+    """256 rows (two 128-row groups) x 4 entries each: L_g is tiny, so
+    both groups share one 128-lane-row tile and the plan takes the
+    boundary-split (nseg=2) path.  Group 0 rows carry `hi_scale`
+    magnitudes, group 1 rows `lo_scale`."""
+    rng = np.random.default_rng(seed)
+    m = n = 256
+    deg = 4
+    cols = np.stack([np.sort(rng.choice(n, deg, replace=False))
+                     for _ in range(m)])
+    scale = np.where(np.arange(m) < 128, hi_scale, lo_scale)
+    data = (rng.uniform(0.5, 1.0, (m, deg)) * scale[:, None]).astype(
+        np.float32)
+    indptr = np.arange(0, m * deg + 1, deg, dtype=np.int64)
+    x = rng.standard_normal(n).astype(np.float32)
+    plan = spmv_routed_plan(indptr, cols.ravel(), data.ravel(), m, n)
+    return plan, indptr, cols.ravel(), data.ravel(), x, m, n
+
+
+def test_spmv_routed_seg2_scale_disparate_boundary():
+    """Regression for the seg2 cancellation bug: segment 2 computed as
+    (full-tile sum - prefix sum) loses ALL precision on the small-scale
+    group when the groups sharing a boundary tile differ by ~1e12 in
+    magnitude.  The kernel must use a direct suffix-masked sum."""
+    from scipy import sparse as sp
+
+    plan, indptr, idx, dat, x, m, n = _boundary_plan_case(1e-4, 1e8)
+    assert plan is not None and plan.nseg == 2
+    y = np.asarray(spmv_routed(jnp.asarray(x), plan, interpret=True))
+    ref64 = sp.csr_matrix(
+        (dat.astype(np.float64), idx, indptr), shape=(m, n)) @ \
+        x.astype(np.float64)
+    # per-row relative error: the 1e-4-scale rows must keep f32-sum
+    # accuracy despite sharing a tile with 1e8-scale rows
+    np.testing.assert_allclose(y, ref64, rtol=1e-5, atol=0.0)
+
+
+def test_spmv_routed_seg2_matches_fallback_kernel():
+    """nseg=2 and forced nseg=0 over the SAME plan tables must agree to
+    f32-sum accuracy (different reduction trees, so not necessarily
+    bitwise — but any systematic gap means one kernel is wrong)."""
+    plan, indptr, idx, dat, x, m, n = _boundary_plan_case(1.0, 1e8,
+                                                          seed=3)
+    assert plan is not None and plan.nseg == 2
+    y_seg = np.asarray(spmv_routed(jnp.asarray(x), plan, interpret=True))
+    plan0 = plan._replace(seg_tbl=None, nseg=0)
+    y0 = np.asarray(spmv_routed(jnp.asarray(x), plan0, interpret=True))
+    scale = np.maximum(np.abs(y0), 1e-30)
+    np.testing.assert_allclose(y_seg / scale, y0 / scale, atol=4e-7)
+
+
 def test_spmm_routed_scipy_parity():
     """Multi-vector execution over the same plan (cuSPARSE SpMM
     analogue, cusparse.py:1440-1514)."""
