@@ -325,20 +325,41 @@ def _densify_gathered_b(ip_g, ix_g, dv_g, nz_g, row_starts, k: int, n: int):
 
 def spgemm_sharded_sparse(a: ShardedCSR, b: ShardedCSR, mesh: Mesh,
                           axis: str = "rows",
-                          precision: str = "highest"):
+                          precision: str = "highest",
+                          stream_b: bool = True):
     """C = A @ B, sparse in, sparse out, C row-sharded like A.
 
-    A is row-sharded; B's row-blocks are all-gathered (the sparse
-    all_gather wire protocol) and densified locally; each shard runs the
-    dense-intermediate pipeline on its own rows and extracts its block of
-    C to a static per-shard capacity (sized by one counts readback — the
-    distributed spMatGetSize).  Nothing about C is ever unsharded.
+    A is row-sharded; B stays row-sharded too and its blocks rotate
+    around the mesh axis in a `ppermute` ring (`stream_b=True`, the
+    default): each device densifies ONE (k/D, n) block per ring step and
+    accumulates its C panel — per-device peak is O(k·n/D + m·k/D + m·n/D)
+    instead of the O(k·n) full-B densification (see
+    `utils.memory_model.spgemm_sharded_peak_bytes`).  This is the
+    TPU-native form of the reference sparse communicator's p2p operand
+    movement (/root/reference
+    modify_src/cupy-src/cupyx/distributed/_nccl_comm.py:525-580) and the
+    survey's prescribed ppermute ring of B row-blocks (SURVEY.md §7 L4).
 
-    Replaces the round-1 `spgemm_dense_sharded`, which returned a dense
-    product and punted compression to the host (VERDICT round 1, missing
-    item 4).  Reference capability: sparse-in/sparse-out end-to-end
-    (/root/reference modify_src/cupy-src/cupyx/cusparse.py:2007-2142).
+    `stream_b=False` keeps the round-2 path: all-gather B's blocks and
+    densify the full (k, n) B on every device.  Both paths produce the
+    exact same structure (counts are exact integer dots either way); the
+    streamed numeric values accumulate K-block partial products in ring
+    order (fixed, deterministic) rather than one full-K dot, so data may
+    differ from the replicated path by f32 rounding only.
+
+    Each shard extracts its block of C to a static per-shard capacity
+    (sized by one counts readback — the distributed spMatGetSize).
+    Nothing about C is ever unsharded.  Reference capability:
+    sparse-in/sparse-out end-to-end (cusparse.py:2007-2142).
     """
+    if stream_b:
+        return _spgemm_sharded_sparse_streamed(a, b, mesh, axis, precision)
+    return _spgemm_sharded_sparse_replicated(a, b, mesh, axis, precision)
+
+
+def _spgemm_sharded_sparse_replicated(a: ShardedCSR, b: ShardedCSR,
+                                      mesh: Mesh, axis: str,
+                                      precision: str):
     from spmm_tpu.parallel.collectives import all_gather_csr_blocks
 
     m, k = a.shape
@@ -406,21 +427,8 @@ def spgemm_sharded_sparse(a: ShardedCSR, b: ShardedCSR, mesh: Mesh,
                                           k, n)
             ct, counts = _local_dense(ip_b[0], ix_b[0], dv_b[0], nz_b[0],
                                       b_dense)
-            mask = (counts > 0).ravel()
-            nnz_l = jnp.sum(mask, dtype=INDEX_DTYPE)
-            keys = jnp.where(mask, jnp.int8(0), jnp.int8(1))
-            idx = jnp.arange(r_local * n, dtype=INDEX_DTYPE)
-            _, flat_s, val_s = jax.lax.sort(
-                (keys, idx, ct.ravel()), num_keys=1, is_stable=True)
-            flat_c = flat_s[:cap]
-            valid = jnp.arange(cap, dtype=INDEX_DTYPE) < nnz_l
-            cols = jnp.where(valid, flat_c % jnp.asarray(n, INDEX_DTYPE),
-                             0)
-            vals = jnp.where(valid, val_s[:cap], 0)
-            rowc = jnp.sum(counts > 0, axis=1, dtype=INDEX_DTYPE)
-            indptr_l = jnp.concatenate(
-                [jnp.zeros((1,), INDEX_DTYPE),
-                 jnp.cumsum(rowc, dtype=INDEX_DTYPE)])
+            indptr_l, cols, vals, nnz_l = _extract_csr_block(
+                ct, counts, cap, n, r_local)
             return (indptr_l[None], cols[None], vals[None], nnz_l[None])
 
         return compute
@@ -431,6 +439,145 @@ def spgemm_sharded_sparse(a: ShardedCSR, b: ShardedCSR, mesh: Mesh,
     ip_o, ix_o, dv_o, nz_o = prog(a.indptr, a.indices, a.data,
                                   a.nnz_local, ip_g, ix_g, dv_g, nz_g,
                                   b_row_starts)
+    return ShardedCSR(ip_o, ix_o, dv_o, nz_o, (m, n), a.row_bounds)
+
+
+def _extract_csr_block(ct, counts, cap: int, n: int, r_local: int):
+    """Compress a dense (r_local, n) product panel to CSR components with
+    static capacity `cap` (the stable-sort compaction used by every
+    fixed-capacity extraction in this repo)."""
+    mask = (counts > 0).ravel()
+    nnz_l = jnp.sum(mask, dtype=INDEX_DTYPE)
+    keys = jnp.where(mask, jnp.int8(0), jnp.int8(1))
+    idx = jnp.arange(r_local * n, dtype=INDEX_DTYPE)
+    _, flat_s, val_s = jax.lax.sort(
+        (keys, idx, ct.ravel()), num_keys=1, is_stable=True)
+    flat_c = flat_s[:cap]
+    valid = jnp.arange(cap, dtype=INDEX_DTYPE) < nnz_l
+    cols = jnp.where(valid, flat_c % jnp.asarray(n, INDEX_DTYPE), 0)
+    vals = jnp.where(valid, val_s[:cap], 0)
+    rowc = jnp.sum(counts > 0, axis=1, dtype=INDEX_DTYPE)
+    indptr_l = jnp.concatenate(
+        [jnp.zeros((1,), INDEX_DTYPE),
+         jnp.cumsum(rowc, dtype=INDEX_DTYPE)])
+    return indptr_l, cols, vals, nnz_l
+
+
+def _spgemm_sharded_sparse_streamed(a: ShardedCSR, b: ShardedCSR,
+                                    mesh: Mesh, axis: str,
+                                    precision: str):
+    """B-streaming ring SpGEMM: see `spgemm_sharded_sparse`.  One ring
+    program produces the dense C panel + structural counts (B blocks
+    rotate via ppermute; one (k/D, n) block densified per step), a
+    one-scalar-per-shard readback sizes the output (the distributed
+    spMatGetSize), and a local extraction program compresses panels to
+    row-sharded CSR."""
+    m, k = a.shape
+    k2, n = b.shape
+    if k != k2:
+        raise ValueError(f"dimension mismatch: {a.shape} @ {b.shape}")
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[precision]
+    D = mesh.shape[axis]
+    r_local = a.rows_per_shard
+    rb = b.rows_per_shard
+    Eb = int(b.indices.shape[1])
+    Ea = int(a.indices.shape[1])
+    k_pad = k + rb  # column head-room: the ring's dynamic column slice
+    #                 at the last block start never clips
+    b_row_starts = jnp.asarray(b.row_bounds[:-1], INDEX_DTYPE)
+    perm = tuple((i, (i + 1) % D) for i in range(D))
+
+    def build_ring():
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis),
+                      P(axis), P(axis), P(axis), P(axis), P()),
+            out_specs=(P(axis), P(axis), P(axis)))
+        def ring(ip_a, ix_a, dv_a, nz_a, ip_b, ix_b, dv_b, nz_b, rstarts):
+            # densify this shard's A rows once, with k_pad columns
+            rows_a = _local_rows(ip_a[0], Ea)
+            valid_a = jnp.arange(Ea, dtype=INDEX_DTYPE) < nz_a[0]
+            flat_a = jnp.where(
+                valid_a,
+                rows_a * jnp.asarray(k_pad, INDEX_DTYPE) + ix_a[0],
+                r_local * k_pad)
+            ad = jnp.zeros((r_local * k_pad + 1,), dv_a.dtype).at[
+                flat_a].add(jnp.where(valid_a, dv_a[0], 0),
+                            mode="drop")[:r_local * k_pad].reshape(
+                r_local, k_pad)
+            apat = jnp.zeros((r_local * k_pad + 1,), jnp.float32).at[
+                flat_a].add(1.0, mode="drop")[:r_local * k_pad].reshape(
+                r_local, k_pad)
+            apat = (apat > 0).astype(jnp.bfloat16)
+            my = jax.lax.axis_index(axis).astype(INDEX_DTYPE)
+
+            def step(s, carry):
+                ipb, ixb, dvb, nzb, ct, counts = carry
+                # after s hops along the (i -> i+1) ring, this device
+                # holds block (my - s) mod D
+                blk = jnp.mod(my - s, D)
+                r0 = rstarts[blk]
+                rows_b = _local_rows(ipb, Eb)
+                valid_b = jnp.arange(Eb, dtype=INDEX_DTYPE) < nzb
+                flat_b = jnp.where(
+                    valid_b,
+                    rows_b * jnp.asarray(n, INDEX_DTYPE) + ixb,
+                    rb * n)
+                bd = jnp.zeros((rb * n + 1,), dvb.dtype).at[flat_b].add(
+                    jnp.where(valid_b, dvb, 0),
+                    mode="drop")[:rb * n].reshape(rb, n)
+                bpat = (bd != 0).astype(jnp.bfloat16)
+                a_sl = jax.lax.dynamic_slice(ad, (0, r0), (r_local, rb))
+                ap_sl = jax.lax.dynamic_slice(apat, (0, r0),
+                                              (r_local, rb))
+                counts = counts + jnp.dot(
+                    ap_sl, bpat, preferred_element_type=jnp.float32)
+                ct = ct + jnp.dot(a_sl, bd, precision=prec,
+                                  preferred_element_type=dvb.dtype)
+                ipb, ixb, dvb, nzb = (
+                    jax.lax.ppermute(c, axis, perm)
+                    for c in (ipb, ixb, dvb, nzb))
+                return (ipb, ixb, dvb, nzb, ct, counts)
+
+            def vary(v):
+                return jax.lax.pcast(v, (axis,), to="varying")
+            init = (ip_b[0], ix_b[0], dv_b[0], nz_b[0],
+                    vary(jnp.zeros((r_local, n), dv_a.dtype)),
+                    vary(jnp.zeros((r_local, n), jnp.float32)))
+            *_, ct, counts = jax.lax.fori_loop(
+                jnp.asarray(0, INDEX_DTYPE), jnp.asarray(D, INDEX_DTYPE),
+                step, init)
+            nnz_l = jnp.sum(counts > 0, dtype=INDEX_DTYPE)
+            return ct[None], counts[None], nnz_l[None]
+
+        return ring
+
+    prog_r = _cached_program(
+        ("spgemm_sp_stream_ring", mesh, axis, a.shape, b.shape,
+         precision, r_local, rb, Ea, Eb), build_ring)
+    ct_d, counts_d, nnz_d = prog_r(a.indptr, a.indices, a.data,
+                                   a.nnz_local, b.indptr, b.indices,
+                                   b.data, b.nnz_local, b_row_starts)
+    cap = max(int(np.asarray(nnz_d).max()), 1)  # distributed spMatGetSize
+
+    def build_extract(cap=cap):
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)))
+        def extract(ct_b, counts_b):
+            ip_l, cols, vals, nnz_l = _extract_csr_block(
+                ct_b[0], counts_b[0], cap, n, r_local)
+            return ip_l[None], cols[None], vals[None], nnz_l[None]
+
+        return extract
+
+    prog_e = _cached_program(
+        ("spgemm_sp_stream_extract", mesh, axis, a.shape, b.shape, cap),
+        build_extract)
+    ip_o, ix_o, dv_o, nz_o = prog_e(ct_d, counts_d)
     return ShardedCSR(ip_o, ix_o, dv_o, nz_o, (m, n), a.row_bounds)
 
 

@@ -49,6 +49,30 @@ def alg3_peak_bytes(m: int, k: int, n: int, nnz_a: int, nnz_b: int,
     return chunk_ws + out + inputs
 
 
+def spgemm_sharded_peak_bytes(m: int, k: int, n: int, nnz_a: int,
+                              nnz_b: int, D: int,
+                              stream_b: bool = True) -> int:
+    """Per-device peak for the distributed sparse-in/sparse-out SpGEMM
+    (`parallel.sharded.spgemm_sharded_sparse`).
+
+    stream_b=True (ppermute ring): dense A panel (m/D, k) f32+bf16, ONE
+    dense B block (k/D, n) f32+bf16 live at a time (plus one in flight),
+    C panel + counts (m/D, n) — every dense term is O(1/D).
+    stream_b=False (replicated): the full (k, n) B is densified on every
+    device — the O(k·n) term that defeats scaling.
+    """
+    r_local = -(-m // D)
+    rb = -(-k // D)
+    a_panel = 6 * r_local * (k + rb)       # f32 values + bf16 pattern
+    c_panel = 8 * r_local * n              # product f32 + counts f32
+    inputs = 8 * (-(-nnz_a // D) + -(-nnz_b // D))
+    if stream_b:
+        b_term = 2 * 6 * rb * n            # current + in-flight block
+    else:
+        b_term = 6 * k * n                 # full densified B
+    return a_panel + b_term + c_panel + inputs
+
+
 def spgemm_peak_estimate(a, b, alg: int = 1,
                          chunk_fraction: float = 0.2) -> Dict[str, float]:
     """Peak-HBM estimate for `spgemm(a, b, alg)` without running it."""

@@ -198,16 +198,20 @@ def test_sparse_all_to_all(mesh):
                 np.asarray(mats[i][j].toarray()))
 
 
-def test_spgemm_sharded_sparse(mesh):
+@pytest.mark.parametrize("stream_b", [True, False])
+def test_spgemm_sharded_sparse(mesh, stream_b):
     """Sparse-in/sparse-out distributed SpGEMM: C row-sharded, CSR matches
-    SciPy (reference capability: cusparse.py:2007-2142 end-to-end)."""
+    SciPy (reference capability: cusparse.py:2007-2142 end-to-end).
+    stream_b=True is the ppermute ring of B row-blocks (the p2p operand
+    movement of _nccl_comm.py:525-580); False is full-B replication."""
     from spmm_tpu.parallel.sharded import (spgemm_sharded_sparse,
                                            sharded_to_csr)
 
     A = st.random(96, 80, 0.15, format="csr", random_state=1)
     B = st.random(80, 72, 0.12, format="csr", random_state=2)
     C = spgemm_sharded_sparse(pp.shard_csr(A, mesh),
-                              pp.shard_csr(B, mesh), mesh)
+                              pp.shard_csr(B, mesh), mesh,
+                              stream_b=stream_b)
     Cg = sharded_to_csr(C)
     ref = (A.to_scipy() @ B.to_scipy()).tocsr()
     ref.sort_indices()
@@ -215,6 +219,55 @@ def test_spgemm_sharded_sparse(mesh):
     np.testing.assert_array_equal(np.asarray(Cg.indices), ref.indices)
     np.testing.assert_allclose(np.asarray(Cg.data), ref.data, rtol=2e-5,
                                atol=1e-6)
+
+
+def test_spgemm_sharded_streamed_vs_replicated(mesh):
+    """The ring path must produce the exact same structure as the
+    replicated path (counts are exact integer dots either way); values
+    differ only by the K-block accumulation order (f32 rounding).  Also
+    covers nnz-balanced (non-uniform) B row blocks through the ring and
+    the deterministic rerun property."""
+    from spmm_tpu.parallel.sharded import (spgemm_sharded_sparse,
+                                           sharded_to_csr)
+
+    A = st.random(120, 100, 0.12, format="csr", random_state=7)
+    B = st.random(100, 88, 0.1, format="csr", random_state=8)
+    Ash = pp.shard_csr(A, mesh)
+    Bsh = pp.shard_csr(B, mesh, balance="nnz")
+    Cs = sharded_to_csr(spgemm_sharded_sparse(Ash, Bsh, mesh,
+                                              stream_b=True))
+    Cr = sharded_to_csr(spgemm_sharded_sparse(Ash, Bsh, mesh,
+                                              stream_b=False))
+    np.testing.assert_array_equal(np.asarray(Cs.indptr),
+                                  np.asarray(Cr.indptr))
+    np.testing.assert_array_equal(np.asarray(Cs.indices),
+                                  np.asarray(Cr.indices))
+    scale = max(1e-30, float(np.abs(np.asarray(Cr.data)).max()))
+    np.testing.assert_allclose(np.asarray(Cs.data), np.asarray(Cr.data),
+                               atol=4e-7 * scale)
+    # bitwise-stable rerun (the determinism contract, SURVEY.md §3.4)
+    Cs2 = sharded_to_csr(spgemm_sharded_sparse(Ash, Bsh, mesh,
+                                               stream_b=True))
+    assert np.array_equal(np.asarray(Cs.data).view(np.uint32),
+                          np.asarray(Cs2.data).view(np.uint32))
+
+
+def test_spgemm_sharded_streamed_memory_model():
+    """The analytic per-device peak: streaming kills the O(k·n) term —
+    at D=8 and 4096² the replicated path's dense-B term is ~8x the
+    streamed path's whole budget."""
+    from spmm_tpu.utils.memory_model import spgemm_sharded_peak_bytes
+
+    m = k = n = 4096
+    nnz = int(0.01 * m * k)
+    D = 8
+    streamed = spgemm_sharded_peak_bytes(m, k, n, nnz, nnz, D,
+                                         stream_b=True)
+    replicated = spgemm_sharded_peak_bytes(m, k, n, nnz, nnz, D,
+                                           stream_b=False)
+    assert replicated > 2 * streamed
+    # every dense term in the streamed budget is O(1/D)
+    assert streamed < 30 * (m // D) * n
 
 
 def test_spgemm_summa_sparse_blocks():
