@@ -379,11 +379,23 @@ def _expand(a_rows, a_indices, a_data, b_indptr, b_indices, b_data,
     b_pos = b_start + (p - seg_start)
     col = b_indices[b_pos]                    # P-sized gather (unavoidable)
     b_val = b_data[b_pos]                     # P-sized gather (unavoidable)
-    # exact f-bit broadcast via the value's bit pattern (width-matched int)
-    int_t = {2: jnp.int16, 4: jnp.int32}[jnp.dtype(a_data.dtype).itemsize]
-    a_bits = jax.lax.bitcast_convert_type(a_data, int_t).astype(INDEX_DTYPE)
-    a_val = jax.lax.bitcast_convert_type(
-        bcast(a_bits).astype(int_t), a_data.dtype)
+    itemsize = jnp.dtype(a_data.dtype).itemsize
+    if itemsize <= 4:
+        # exact f-bit broadcast via the value's bit pattern
+        # (width-matched int)
+        int_t = {2: jnp.int16, 4: jnp.int32}[itemsize]
+        a_bits = jax.lax.bitcast_convert_type(
+            a_data, int_t).astype(INDEX_DTYPE)
+        a_val = jax.lax.bitcast_convert_type(
+            bcast(a_bits).astype(int_t), a_data.dtype)
+    else:
+        # wide dtypes (float64, complex64/128, reference
+        # test_cusparse.py:144,373): broadcast the entry id (exact int32)
+        # and gather the value — one extra P-sized gather on the
+        # correctness path for these dtypes
+        nnz = a_rows.shape[0]
+        eid = bcast(jnp.arange(nnz, dtype=INDEX_DTYPE))
+        a_val = a_data[eid]
     val = a_val * b_val
     return row, col, val
 
@@ -414,11 +426,18 @@ def _expand_joined(a_rows, a_indices, a_data, b_indptr, b_indices, b_data,
             deltas, mode="drop")
         return jnp.cumsum(buf, dtype=INDEX_DTYPE)
 
-    int_t = {2: jnp.int16, 4: jnp.int32}[jnp.dtype(a_data.dtype).itemsize]
+    itemsize = jnp.dtype(a_data.dtype).itemsize
+    wide = itemsize > 4  # f64/complex: ship entry ids, gather values
     p = jnp.arange(P, dtype=INDEX_DTYPE)
     row1 = bcast(a_rows, heads, P)
-    a_bits = jax.lax.bitcast_convert_type(a_data, int_t).astype(INDEX_DTYPE)
-    abits1 = bcast(a_bits, heads, P)
+    if wide:
+        abits1 = bcast(jnp.arange(a_rows.shape[0], dtype=INDEX_DTYPE),
+                       heads, P)
+    else:
+        int_t = {2: jnp.int16, 4: jnp.int32}[itemsize]
+        a_bits = jax.lax.bitcast_convert_type(
+            a_data, int_t).astype(INDEX_DTYPE)
+        abits1 = bcast(a_bits, heads, P)
     b_start = bcast(b_indptr[a_indices], heads, P)   # nnz_a-sized gather
     seg_start = bcast(heads, heads, P)
     b_pos = b_start + (p - seg_start)
@@ -431,12 +450,18 @@ def _expand_joined(a_rows, a_indices, a_data, b_indptr, b_indices, b_data,
     cnt = bcast(colcount, b_indptr[:-1], nnz_b)      # per-B-entry run len
     heads2 = jnp.cumsum(cnt, dtype=INDEX_DTYPE) - cnt
     col_s = bcast(b_indices, heads2, P)
-    b_bits = jax.lax.bitcast_convert_type(b_data, int_t).astype(INDEX_DTYPE)
-    bbits_s = bcast(b_bits, heads2, P)
-    a_val = jax.lax.bitcast_convert_type(
-        abits_s.astype(int_t), a_data.dtype)
-    b_val = jax.lax.bitcast_convert_type(
-        bbits_s.astype(int_t), b_data.dtype)
+    if wide:
+        bid_s = bcast(jnp.arange(nnz_b, dtype=INDEX_DTYPE), heads2, P)
+        a_val = a_data[abits_s]
+        b_val = b_data[bid_s]
+    else:
+        b_bits = jax.lax.bitcast_convert_type(
+            b_data, int_t).astype(INDEX_DTYPE)
+        bbits_s = bcast(b_bits, heads2, P)
+        a_val = jax.lax.bitcast_convert_type(
+            abits_s.astype(int_t), a_data.dtype)
+        b_val = jax.lax.bitcast_convert_type(
+            bbits_s.astype(int_t), b_data.dtype)
     return row_s, col_s, a_val * b_val
 
 
@@ -554,10 +579,17 @@ def _chunk_esc(a_indptr_full, a_indices, a_data, a_rows,
     b_pos = jnp.minimum(b_start + within, b_indices.shape[0] - 1)
     b_pos = jnp.maximum(b_pos, 0)
     row = jnp.where(valid_p, bcast(ar), m)
-    int_t = {2: jnp.int16, 4: jnp.int32}[jnp.dtype(ad.dtype).itemsize]
-    a_bits = jax.lax.bitcast_convert_type(ad, int_t).astype(INDEX_DTYPE)
-    a_val = jax.lax.bitcast_convert_type(
-        bcast(a_bits).astype(int_t), ad.dtype)
+    itemsize = jnp.dtype(ad.dtype).itemsize
+    if itemsize <= 4:
+        int_t = {2: jnp.int16, 4: jnp.int32}[itemsize]
+        a_bits = jax.lax.bitcast_convert_type(
+            ad, int_t).astype(INDEX_DTYPE)
+        a_val = jax.lax.bitcast_convert_type(
+            bcast(a_bits).astype(int_t), ad.dtype)
+    else:
+        # wide dtypes: entry-id broadcast + gather (see _expand)
+        eid = jnp.clip(bcast(jnp.arange(E, dtype=INDEX_DTYPE)), 0, E - 1)
+        a_val = ad[eid]
     col = jnp.where(valid_p, b_indices[b_pos], n - 1)
     val = jnp.where(valid_p, a_val * b_data[b_pos], 0)
     # lex sort; invalid lanes (row=m) land at the end
@@ -750,6 +782,12 @@ def spgemm(a, b, alpha=1.0, alg: int = 0, chunk_fraction: float = 0.2,
         raise ValueError(f"dimension mismatch: {a.shape} @ {b.shape}")
     if impl not in ("auto", "dense", "esc"):
         raise ValueError(f"unknown impl {impl!r}")
+    if a.dtype != b.dtype:
+        # the reference casts operands to a common type before staging
+        # (cusparse.py:2039 _cast_common_type)
+        common = jnp.promote_types(a.dtype, b.dtype)
+        a = a.astype(common)
+        b = b.astype(common)
     a = a.sum_duplicates()
     b = b.sum_duplicates()
     use_blocked = (impl == "dense"

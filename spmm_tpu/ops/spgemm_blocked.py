@@ -52,6 +52,9 @@ from spmm_tpu.ops import _primitives as prim
 
 INDEX_DTYPE = prim.INDEX_DTYPE
 TILE = 128
+# static-zero start index, typed so dynamic_slice sees matching int32
+# starts under jax_enable_x64 (reference dtype grid includes f64/complex)
+_ZERO = np.int32(0)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -131,7 +134,7 @@ def _alg2_count(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
                              oh_plans[1])
 
     def tile_body(_, t):
-        ap = lax.dynamic_slice(a_pat, (t * TILE, 0), (TILE, k))
+        ap = lax.dynamic_slice(a_pat, (t * TILE, _ZERO), (TILE, k))
         counts = jnp.dot(ap, b_pat, preferred_element_type=jnp.float32)
         rowc = jnp.sum(counts > 0, axis=1, dtype=INDEX_DTYPE)
         return 0, rowc
@@ -157,10 +160,10 @@ def _alg2_compute(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
     prec = _PREC[precision]
 
     def tile_body(_, t):
-        at = lax.dynamic_slice(ad, (t * TILE, 0), (TILE, k))
+        at = lax.dynamic_slice(ad, (t * TILE, _ZERO), (TILE, k))
         ct = jnp.dot(at, bd, precision=prec,
                      preferred_element_type=ad.dtype)
-        ap = lax.dynamic_slice(a_pat, (t * TILE, 0), (TILE, k))
+        ap = lax.dynamic_slice(a_pat, (t * TILE, _ZERO), (TILE, k))
         counts = jnp.dot(ap, b_pat, preferred_element_type=jnp.float32)
         mask = (counts > 0).ravel()
         nnz_t = jnp.sum(mask, dtype=INDEX_DTYPE)
@@ -483,7 +486,8 @@ def _alg3_compute_unrolled(a_indptr_pad, a_indices, a_data, b_ip_panels,
             blocks[p][t] = (gflat, val_s[:cap_blk], nnz_b)
             # opaque zero (sign bit of a nonnegative count): makes the next
             # panel's A-tile densify a distinct computation, defeating CSE
-            tok = lax.shift_right_arithmetic(nnz_b, 31)
+            tok = lax.shift_right_arithmetic(
+                nnz_b, jnp.asarray(31, INDEX_DTYPE))
 
     # per-tile merge: a tile's entries are contiguous in the output and
     # its P blocks are column-disjoint, so one fused-flat sort per tile
