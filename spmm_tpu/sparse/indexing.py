@@ -79,48 +79,47 @@ def _getcols_slice(a, j0: int, j1: int):
 def _getcols_array(a, cols):
     """A[:, cols] for an integer array (duplicates allowed, any order) —
     the column counterpart of `_getrows_array` (reference
-    `_index.py` major/minor index paths).  Host metadata op."""
+    `_index.py` major/minor index paths).  Host metadata op, one sort
+    pass: each entry expands to its matches among the requested columns
+    via two searchsorteds into the sorted request (no per-column scan)."""
     from spmm_tpu.sparse.coo import COO
 
     a = a.sum_duplicates()
     cols = np.asarray(cols, np.int64)
-    ix = np.asarray(a.indices)
+    ix = np.asarray(a.indices, np.int64)
     dv = np.asarray(a.data)
-    rows_h = np.asarray(a.rows)
-    out_rows, out_cols, out_vals = [], [], []
-    for j, c in enumerate(cols):
-        sel = ix == c
-        out_rows.append(rows_h[sel])
-        out_cols.append(np.full(int(sel.sum()), j, np.int64))
-        out_vals.append(dv[sel])
-    if out_rows:
-        out_rows = np.concatenate(out_rows)
-        out_cols = np.concatenate(out_cols)
-        out_vals = np.concatenate(out_vals)
-    else:
-        out_rows = np.zeros(0, np.int64)
-        out_cols = np.zeros(0, np.int64)
-        out_vals = np.zeros(0, dv.dtype)
-    return COO((out_vals, (out_rows, out_cols)),
+    rows_h = np.asarray(a.rows, np.int64)
+    order = np.argsort(cols, kind="stable")
+    sc = cols[order]
+    lo = np.searchsorted(sc, ix, side="left")
+    hi = np.searchsorted(sc, ix, side="right")
+    cnt = hi - lo                      # matches per entry (dup cols ok)
+    src = np.repeat(np.arange(ix.shape[0]), cnt)
+    total = int(cnt.sum())
+    ofs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    out_cols = order[lo[src] + ofs]    # output column = request position
+    return COO((dv[src], (rows_h[src], out_cols)),
                shape=(a.shape[0], len(cols))).tocsr()
 
 
 def _get_pairs(a, rows, cols):
     """A[rows, cols] pair extraction → dense (1, N) row vector (SciPy's
-    matrix semantics for paired fancy indexing)."""
+    matrix semantics for paired fancy indexing).  One searchsorted over
+    the canonical (row, col) keys — no per-pair host loop."""
     rows = np.asarray(rows, np.int64).ravel()
     cols = np.asarray(cols, np.int64).ravel()
     if rows.shape != cols.shape:
         raise IndexError("row and column index arrays must match in length")
-    ip = np.asarray(a.indptr)
-    ix = np.asarray(a.indices)
+    a = a.sum_duplicates()
+    ix = np.asarray(a.indices, np.int64)
     dv = np.asarray(a.data)
-    out = np.zeros(rows.shape[0], dv.dtype)
-    for t, (r, c) in enumerate(zip(rows, cols)):
-        seg = slice(int(ip[r]), int(ip[r + 1]))
-        hit = ix[seg] == c
-        if hit.any():
-            out[t] = dv[seg][hit].sum()
+    n = a.shape[1]
+    ekeys = np.asarray(a.rows, np.int64) * n + ix  # ascending (canonical)
+    pkeys = rows * n + cols
+    pos = np.searchsorted(ekeys, pkeys)
+    posc = np.minimum(pos, max(ekeys.shape[0] - 1, 0))
+    hit = (ekeys.shape[0] > 0) & (ekeys[posc] == pkeys)
+    out = np.where(hit, dv[posc], 0).astype(dv.dtype)
     return jnp.asarray(out)[None, :]
 
 
@@ -203,35 +202,120 @@ def csr_getitem(a, key):
     raise NotImplementedError(f"unsupported index {key!r}")
 
 
-def csr_setitem(a, key, value):
-    """Scalar element assignment `A[i, j] = v` (in place, like the
-    reference's `_index.py` __setitem__ — the container's arrays are
-    rebuilt and swapped).  Other assignment forms raise."""
-    if not (isinstance(key, tuple) and len(key) == 2
-            and isinstance(key[0], (int, np.integer))
-            and isinstance(key[1], (int, np.integer))):
-        raise NotImplementedError(
-            "only scalar element assignment A[i, j] = v is supported")
-    m, n = a.shape
-    i = int(key[0]) % m
-    j = int(key[1]) % n
+def _assign_entries(a, new_rows, new_cols, new_vals, clear_rows=None):
+    """Core assignment merge (host metadata op, one sort pass).
+
+    SciPy/reference semantics (`_index.py:400,555-561` `_set_many` /
+    `_set_arrayXarray_sparse`): assigned positions take the new value —
+    explicit zeros are STORED, not pruned; for block assignment
+    (`clear_rows`) every pre-existing entry in the cleared rows is set
+    to explicit 0 first, so the result pattern is the union.  Duplicate
+    assigned positions: last one wins."""
     a2 = a.sum_duplicates()
-    ip = np.asarray(a2.indptr)
-    ix = np.asarray(a2.indices)
-    dv = np.asarray(a2.data)
-    s, e = int(ip[i]), int(ip[i + 1])
-    hit = np.nonzero(ix[s:e] == j)[0]
-    if hit.size:
-        dv = dv.copy()
-        dv[s + hit[0]] = value
-    else:
-        insert = s + int(np.searchsorted(ix[s:e], j))
-        ix = np.insert(ix, insert, j)
-        dv = np.insert(dv, insert, np.asarray(value, dv.dtype))
-        ip = ip.copy()
-        ip[i + 1:] += 1
-    a.indptr = jnp.asarray(ip, INDEX_DTYPE)
-    a.indices = jnp.asarray(ix, INDEX_DTYPE)
-    a.data = jnp.asarray(dv)
+    m, n = a2.shape
+    ix = np.asarray(a2.indices, np.int64)
+    dv = np.asarray(a2.data).copy()
+    erows = np.asarray(a2.rows, np.int64)
+    if clear_rows is not None and erows.size:
+        cleared = np.isin(erows, np.asarray(clear_rows, np.int64))
+        dv[cleared] = 0
+    ekeys = erows * n + ix
+    nkeys = np.asarray(new_rows, np.int64) * n \
+        + np.asarray(new_cols, np.int64)
+    nvals = np.asarray(new_vals, dv.dtype).ravel()
+    all_keys = np.concatenate([ekeys, nkeys])
+    all_vals = np.concatenate([dv, nvals])
+    order = np.argsort(all_keys, kind="stable")
+    ks = all_keys[order]
+    last = np.concatenate([ks[1:] != ks[:-1], [True]]) \
+        if ks.size else np.zeros(0, bool)
+    sel = order[last]
+    out_keys = ks[last]
+    out_vals = all_vals[sel]
+    out_rows = out_keys // n
+    indptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(out_rows, minlength=m))])
+    a.indptr = jnp.asarray(indptr, INDEX_DTYPE)
+    a.indices = jnp.asarray(out_keys % n, INDEX_DTYPE)
+    a.data = jnp.asarray(out_vals)
     a._canonical = True
     return a
+
+
+def _set_rows(a, rows_sel, value):
+    """Row-block assignment `A[rows] = B` with B sparse (explicit entries
+    overlay, old entries zeroed in place) or dense (every position of the
+    assigned rows stored, matching SciPy)."""
+    from spmm_tpu.sparse.base import issparse
+
+    m, n = a.shape
+    rows_sel = np.asarray(rows_sel, np.int64)
+    if issparse(value):
+        if value.shape != (rows_sel.shape[0], n):
+            raise ValueError(
+                f"shape mismatch: assigning {value.shape} into "
+                f"{(rows_sel.shape[0], n)} rows")
+        b = value.tocsr().sum_duplicates()
+        brows = np.asarray(b.rows, np.int64)
+        return _assign_entries(a, rows_sel[brows],
+                               np.asarray(b.indices, np.int64),
+                               np.asarray(b.data), clear_rows=rows_sel)
+    vals = np.asarray(value)
+    vals = np.broadcast_to(vals, (rows_sel.shape[0], n))
+    nr = np.repeat(rows_sel, n)
+    nc = np.tile(np.arange(n, dtype=np.int64), rows_sel.shape[0])
+    return _assign_entries(a, nr, nc, vals.ravel(), clear_rows=rows_sel)
+
+
+def csr_setitem(a, key, value):
+    """Assignment (in place — the container's arrays are rebuilt and
+    swapped, like the reference's `_index.py` __setitem__):
+
+      * `A[i, j] = v` — scalar element
+      * `A[rows, cols] = v | vals` — paired fancy assignment
+        (`_index.py:400` _set_many; explicit zeros stored, last dup wins)
+      * `A[i] = B`, `A[rows] = B`, `A[i:j] = B` — row-block assignment
+        with B sparse or dense (`_index.py:555-561`
+        _set_arrayXarray_sparse: old entries zeroed explicitly, new
+        pattern overlaid)
+    """
+    from spmm_tpu.sparse.base import issparse
+
+    m, n = a.shape
+    if isinstance(key, tuple) and len(key) == 2:
+        ik, jk = key
+        int_i = isinstance(ik, (int, np.integer))
+        int_j = isinstance(jk, (int, np.integer))
+        if int_i and int_j:
+            return _assign_entries(
+                a, np.asarray([int(ik) % m]), np.asarray([int(jk) % n]),
+                np.asarray([value], np.asarray(a.data).dtype))
+        arr_i = isinstance(ik, (list, np.ndarray, jnp.ndarray))
+        arr_j = isinstance(jk, (list, np.ndarray, jnp.ndarray))
+        if (arr_i or int_i) and (arr_j or int_j):
+            ri = np.asarray(ik, np.int64).ravel() % m
+            cj = np.asarray(jk, np.int64).ravel() % n
+            ri, cj = np.broadcast_arrays(ri, cj)
+            vals = np.broadcast_to(
+                np.asarray(value, np.asarray(a.data).dtype).ravel()
+                if np.ndim(value) else np.asarray(value), ri.shape)
+            return _assign_entries(a, ri, cj, vals)
+        if isinstance(jk, slice) and jk == slice(None):
+            key = ik  # fall through to the row forms below
+        else:
+            raise NotImplementedError(f"unsupported assignment key "
+                                      f"{key!r}")
+    if isinstance(key, (int, np.integer)):
+        rows_sel = np.asarray([int(key) % m], np.int64)
+        if not issparse(value):
+            value = np.asarray(value).reshape(1, -1) \
+                if np.ndim(value) else value
+        return _set_rows(a, rows_sel, value)
+    if isinstance(key, slice):
+        start, stop, step = key.indices(m)
+        return _set_rows(a, np.arange(start, stop, step, dtype=np.int64),
+                         value)
+    if isinstance(key, (list, np.ndarray, jnp.ndarray)):
+        rows, _ = _normalize_rows_key(a, key)
+        return _set_rows(a, rows, value)
+    raise NotImplementedError(f"unsupported assignment key {key!r}")
