@@ -52,6 +52,8 @@ from spmm_tpu.ops import _primitives as prim
 
 INDEX_DTYPE = prim.INDEX_DTYPE
 TILE = 128
+# explicit-zero marker (see ops/spgemm._TINY / _densify_marked)
+_TINY = float(np.finfo(np.float32).tiny)
 # static-zero start index, typed so dynamic_slice sees matching int32
 # starts under jax_enable_x64 (reference dtype grid includes f64/complex)
 _ZERO = np.int32(0)
@@ -167,10 +169,10 @@ def _alg2_compute(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
         counts = jnp.dot(ap, b_pat, preferred_element_type=jnp.float32)
         mask = (counts > 0).ravel()
         nnz_t = jnp.sum(mask, dtype=INDEX_DTYPE)
-        keys = jnp.where(mask, jnp.int8(0), jnp.int8(1))
         idx = jnp.arange(TILE * n, dtype=INDEX_DTYPE)
-        _, flat_s, val_s = lax.sort((keys, idx, ct.ravel()), num_keys=1,
-                                    is_stable=True)
+        sortkey = jnp.where(mask, idx, jnp.asarray(TILE * n, INDEX_DTYPE))
+        flat_s, val_s = lax.sort((sortkey, ct.ravel()), num_keys=1,
+                                 is_stable=True)
         rowc = jnp.sum(counts > 0, axis=1, dtype=INDEX_DTYPE)
         return 0, (flat_s[:cap_tile], val_s[:cap_tile], nnz_t, rowc)
 
@@ -242,6 +244,45 @@ def spgemm_alg2_blocked(a, b, alpha, precision: str = "highest",
 # ===========================================================================
 
 
+# fast-count gate: one bf16 B pattern (2·k·n_pad bytes) replaces the
+# P-fold re-densification of A in the sizing sweep (measured: streamed
+# count 4.85 ms vs alg2-style count 0.44 ms at 1024²/0.1).  The pattern
+# is transient and half the f32 B dense; past this budget the streamed
+# count below keeps the strict panel-bounded contract.
+_FAST_COUNT_BUDGET = int(1e9)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m_pad", "k", "n", "n_pad", "n_b", "T", "P",
+                     "oh_plans"))
+def _alg3_count_fast(a_indptr, a_indices, a_data, b_indptr, b_indices,
+                     b_data, m_pad: int, k: int, n: int, n_pad: int,
+                     n_b: int, T: int, P: int, oh_plans=(None, None)):
+    """Sizing pass with a resident bf16 B pattern: per-row and per-block
+    structural counts from T pattern matmuls (the alg2 count plus a
+    per-panel reshape-sum)."""
+    _, a_pat = _densify_pair(a_indptr, a_indices, a_data, m_pad, k,
+                             oh_plans[0])
+    _, b_pat = _densify_pair(b_indptr, b_indices, b_data, k, n,
+                             oh_plans[1])
+    if n_pad > n:
+        b_pat = jnp.pad(b_pat, ((0, 0), (0, n_pad - n)))
+
+    def tile_body(_, t):
+        ap = lax.dynamic_slice(a_pat, (t * TILE, _ZERO), (TILE, k))
+        counts = jnp.dot(ap, b_pat, preferred_element_type=jnp.float32)
+        nz = counts > 0
+        rowc = jnp.sum(nz, axis=1, dtype=INDEX_DTYPE)
+        blk = jnp.sum(nz.reshape(TILE, P, n_b), axis=(0, 2),
+                      dtype=INDEX_DTYPE)
+        return 0, (rowc, blk)
+
+    _, (rowc_t, blk_t) = lax.scan(tile_body, 0,
+                                  jnp.arange(T, dtype=INDEX_DTYPE))
+    return rowc_t.reshape(m_pad), blk_t.T  # (P, T)
+
+
 @functools.partial(
     jax.jit, static_argnames=("m_pad", "k", "n_b", "T", "P", "Ea", "Eb"))
 def _alg3_count(a_off, a_end, a_colv, b_off, b_end, b_rowv, b_colv,
@@ -290,12 +331,48 @@ def _alg3_count(a_off, a_end, a_colv, b_off, b_end, b_rowv, b_colv,
 @functools.partial(
     jax.jit,
     static_argnames=("m", "m_pad", "k", "n", "n_b", "T", "P", "Ea", "Eb",
-                     "cap_blk", "nnz", "precision"))
+                     "cap_blk", "cap_tile", "nnz", "precision", "safe"))
 def _alg3_compute(a_off, a_end, a_colv, a_val, b_off, b_end, b_rowv,
-                  b_colv, b_val, alpha, m: int, m_pad: int, k: int,
-                  n: int, n_b: int, T: int, P: int, Ea: int, Eb: int,
-                  cap_blk: int, nnz: int, precision: str):
+                  b_colv, b_val, rowc, offs, alpha, m: int, m_pad: int,
+                  k: int, n: int, n_b: int, T: int, P: int, Ea: int,
+                  Eb: int, cap_blk: int, cap_tile: int, nnz: int,
+                  precision: str, safe: bool = False):
+    """Numeric sweep + per-tile merge assembly.
+
+    Each (panel, tile) block compacts to cap_blk slots keyed by the
+    tile-LOCAL flat position (lrow·n + global col — panels of one tile
+    are column-disjoint, so a fused-key sort per tile yields final CSR
+    order directly).  The per-tile merge replaces the former global
+    (m_pad+1, n) lexsort over all P·T·cap_blk triplets — the assembly
+    was the scan engine's wall at 4096² (one T-element scan of
+    P·cap_blk sorts is ~P· smaller per step and skips the row keys
+    entirely).  `rowc`/`offs` come from the count pass, so indptr needs
+    no bincount."""
     prec = _PREC[precision]
+    BIG = jnp.asarray(TILE, INDEX_DTYPE) * jnp.asarray(n, INDEX_DTYPE)
+    tiny = jnp.asarray(_TINY, a_val.dtype)
+
+    def _dense_and_pat(seg, val, sentinel_rows: int, cols: int):
+        """One marked scatter yields both the value dense and the bf16
+        pattern (the alg1 _densify_marked trick — halves the serialized
+        scatter cost, which dominated this scan's sweeps); `safe=True`
+        falls back to two scatters when an input legitimately stores
+        +TINY."""
+        size = (sentinel_rows + 1) * cols
+        if safe:
+            vd = jnp.zeros((size,), val.dtype).at[seg].add(
+                val, mode="drop")[:sentinel_rows * cols]
+            pat = jnp.zeros((size,), jnp.float32).at[seg].add(
+                1.0, mode="drop")[:sentinel_rows * cols]
+            return (vd.reshape(sentinel_rows, cols),
+                    (pat > 0).reshape(sentinel_rows, cols).astype(
+                        jnp.bfloat16))
+        marked = jnp.where(val == 0, tiny, val)
+        dm = jnp.zeros((size,), val.dtype).at[seg].add(
+            marked, mode="drop")[:sentinel_rows * cols].reshape(
+            sentinel_rows, cols)
+        vd = jnp.where(dm == tiny, 0, dm)
+        return vd, (dm != 0).astype(jnp.bfloat16)
 
     def panel_body(_, p):
         boff = b_off[p]
@@ -306,12 +383,10 @@ def _alg3_compute(a_off, a_end, a_colv, a_val, b_off, b_end, b_rowv,
             bvalid, lax.dynamic_slice(b_colv, (boff,), (Eb,)), 0)
         bval = jnp.where(
             bvalid, lax.dynamic_slice(b_val, (boff,), (Eb,)), 0)
+        # pad slots carry val=0 → the marker; they scatter to the
+        # sentinel row and are dropped either way
         bflat = bseg * jnp.asarray(n_b, INDEX_DTYPE) + bcol
-        bd = jnp.zeros(((k + 1) * n_b,), bval.dtype).at[bflat].add(
-            bval, mode="drop")[:k * n_b].reshape(k, n_b)
-        b_pat = jnp.zeros(((k + 1) * n_b,), jnp.float32).at[bflat].add(
-            1.0, mode="drop")[:k * n_b].reshape(k, n_b)
-        b_pat = (b_pat > 0).astype(jnp.bfloat16)
+        bd, b_pat = _dense_and_pat(bflat, bval, k, n_b)
 
         def tile_body(_, t):
             aoff = a_off[t]
@@ -321,48 +396,58 @@ def _alg3_compute(a_off, a_end, a_colv, a_val, b_off, b_end, b_rowv,
                 TILE * k)
             aval = jnp.where(
                 avalid, lax.dynamic_slice(a_val, (aoff,), (Ea,)), 0)
-            ad = jnp.zeros(((TILE + 1) * k,), aval.dtype).at[aseg].add(
-                aval, mode="drop")[:TILE * k].reshape(TILE, k)
-            a_pat = jnp.zeros(((TILE + 1) * k,), jnp.float32).at[
-                aseg].add(1.0, mode="drop")[:TILE * k].reshape(TILE, k)
-            a_pat = (a_pat > 0).astype(jnp.bfloat16)
+            ad, a_pat = _dense_and_pat(aseg, aval, TILE, k)
             ct = jnp.dot(ad, bd, precision=prec,
                          preferred_element_type=aval.dtype)
             counts = jnp.dot(a_pat, b_pat,
                              preferred_element_type=jnp.float32)
             mask = (counts > 0).ravel()
             nnz_b = jnp.sum(mask, dtype=INDEX_DTYPE)
-            keys = jnp.where(mask, jnp.int8(0), jnp.int8(1))
             idx = jnp.arange(TILE * n_b, dtype=INDEX_DTYPE)
-            _, flat_s, val_s = lax.sort((keys, idx, ct.ravel()),
-                                        num_keys=1, is_stable=True)
+            # fused sort key: kept slots keep their flat position,
+            # masked ones go past the end — one i32 key + f32 payload
+            # instead of the (i8, i32, f32) triple
+            sortkey = jnp.where(mask, idx,
+                                jnp.asarray(TILE * n_b, INDEX_DTYPE))
+            flat_s, val_s = lax.sort((sortkey, ct.ravel()), num_keys=1,
+                                     is_stable=True)
             flat_c = flat_s[:cap_blk]
             lrow = flat_c // jnp.asarray(n_b, INDEX_DTYPE)
             lcol = flat_c % jnp.asarray(n_b, INDEX_DTYPE)
             valid = jnp.arange(cap_blk, dtype=INDEX_DTYPE) < nnz_b
-            grow = jnp.where(valid, lrow + t * TILE, m_pad)
-            gcol = jnp.where(valid, lcol + p * n_b, 0)
-            return 0, (grow, gcol,
-                       jnp.where(valid, val_s[:cap_blk], 0), nnz_b)
+            key = jnp.where(
+                valid,
+                lrow * jnp.asarray(n, INDEX_DTYPE) + lcol
+                + jnp.asarray(p, INDEX_DTYPE) * jnp.asarray(
+                    n_b, INDEX_DTYPE),
+                BIG)
+            return 0, (key, jnp.where(valid, val_s[:cap_blk], 0))
 
         _, out_t = lax.scan(tile_body, 0, jnp.arange(T, dtype=INDEX_DTYPE))
         return 0, out_t
 
-    _, (rows_b, cols_b, vals_b, _) = lax.scan(
+    _, (keys_pt, vals_pt) = lax.scan(
         panel_body, 0, jnp.arange(P, dtype=INDEX_DTYPE))
-    # assemble: invalid entries carry row m_pad and sort to the end;
-    # panels are column-disjoint so there are no duplicates to merge
-    row_all = rows_b.reshape(-1)
-    col_all = cols_b.reshape(-1)
-    val_all = vals_b.reshape(-1)
-    row_s, col_s, (val_s,) = prim.lexsort_rowcol(
-        row_all, col_all, (val_all,), (m_pad + 1, n))
+    keys_t = keys_pt.transpose(1, 0, 2).reshape(T, P * cap_blk)
+    vals_t = vals_pt.transpose(1, 0, 2).reshape(T, P * cap_blk)
+    colbuf = jnp.zeros((nnz + cap_tile,), INDEX_DTYPE)
+    valbuf = jnp.zeros((nnz + cap_tile,), a_val.dtype)
+
+    def merge(bufs, t):
+        cb, vb = bufs
+        ks, vs = lax.sort((keys_t[t], vals_t[t]), num_keys=1,
+                          is_stable=True)
+        cols = ks[:cap_tile] % jnp.asarray(n, INDEX_DTYPE)
+        cb = lax.dynamic_update_slice(cb, cols, (offs[t],))
+        vb = lax.dynamic_update_slice(vb, vs[:cap_tile], (offs[t],))
+        return (cb, vb), ()
+
+    (colbuf, valbuf), _ = lax.scan(
+        merge, (colbuf, valbuf), jnp.arange(T, dtype=INDEX_DTYPE))
     indptr = jnp.concatenate(
         [jnp.zeros((1,), INDEX_DTYPE),
-         jnp.cumsum(jnp.bincount(row_s[:nnz], length=m_pad
-                                 ).astype(INDEX_DTYPE)[:m],
-                    dtype=INDEX_DTYPE)])
-    return indptr, col_s[:nnz], alpha * val_s[:nnz]
+         jnp.cumsum(rowc[:m], dtype=INDEX_DTYPE)])
+    return indptr, colbuf[:nnz], alpha * valbuf[:nnz]
 
 
 # ---------------------------------------------------------------------------
@@ -475,9 +560,10 @@ def _alg3_compute_unrolled(a_indptr_pad, a_indices, a_data, b_ip_panels,
                              preferred_element_type=jnp.float32)
             mask = (counts > 0).ravel()
             nnz_b = jnp.sum(mask, dtype=INDEX_DTYPE)
-            keys = jnp.where(mask, jnp.int8(0), jnp.int8(1))
-            _, flat_s, val_s = lax.sort((keys, idx_blk, ct.ravel()),
-                                        num_keys=1, is_stable=True)
+            sortkey = jnp.where(mask, idx_blk,
+                                jnp.asarray(TILE * n_b, INDEX_DTYPE))
+            flat_s, val_s = lax.sort((sortkey, ct.ravel()), num_keys=1,
+                                     is_stable=True)
             flat_c = flat_s[:cap_blk]
             gflat = (flat_c // jnp.asarray(n_b, INDEX_DTYPE)) * nI \
                 + flat_c % jnp.asarray(n_b, INDEX_DTYPE) \
@@ -648,16 +734,36 @@ def spgemm_alg3_blocked(a, b, alpha, chunk_fraction: float,
     b_off = jnp.asarray(b_bounds[:P], INDEX_DTYPE)
     b_end_d = jnp.asarray(b_bounds[1:P + 1], INDEX_DTYPE)
 
-    rowc, blockc = _alg3_count(
-        a_off, a_end_d, a_flat, b_off, b_end_d, b_rows, b_colw,
-        m_pad, k, n_b, T, P, Ea, Eb)
+    if 2 * k * n_pad <= _FAST_COUNT_BUDGET:
+        a_indptr_d = a.indptr
+        if m_pad != m:
+            a_indptr_d = jnp.concatenate(
+                [a_indptr_d, jnp.full((m_pad - m,), a.indptr[-1],
+                                      INDEX_DTYPE)])
+        oh = _onehot_plans_padded(a_indptr_h, np.asarray(b.indptr),
+                                  m_pad, k, n, a.dtype)
+        rowc, blockc = _alg3_count_fast(
+            a_indptr_d, a.indices, a.data, b.indptr, b.indices, b.data,
+            m_pad, k, n, n_pad, n_b, T, P, oh)
+    else:
+        rowc, blockc = _alg3_count(
+            a_off, a_end_d, a_flat, b_off, b_end_d, b_rows, b_colw,
+            m_pad, k, n_b, T, P, Ea, Eb)
     blockc_h = np.asarray(blockc)  # host sizing readback
     nnz = int(blockc_h.sum())
     if nnz == 0:
         return _empty_csr(m, n, a.dtype)
     cap_blk = max(_round_up(int(blockc_h.max()), 8), 8)
+    tilec_h = blockc_h.sum(axis=0)  # per-tile output totals
+    cap_tile = max(_round_up(int(tilec_h.max()), 8), 8)
+    offs = np.concatenate([[0], np.cumsum(tilec_h)]).astype(np.int32)
+    # the marked single-scatter densify needs the collision guard (an
+    # input legitimately storing +TINY) — one host check per call
+    safe = bool(np.any(np.asarray(a.data) == np.float32(_TINY))
+                or np.any(np.asarray(b.data) == np.float32(_TINY)))
     indptr, cols, vals = _alg3_compute(
         a_off, a_end_d, a_flat, a_val, b_off, b_end_d, b_rows, b_colw,
-        b_vals, jnp.asarray(alpha, a.dtype), m, m_pad, k, n, n_b, T, P,
-        Ea, Eb, cap_blk, nnz, precision)
+        b_vals, rowc, jnp.asarray(offs), jnp.asarray(alpha, a.dtype),
+        m, m_pad, k, n, n_b, T, P, Ea, Eb, cap_blk, cap_tile, nnz,
+        precision, safe)
     return CSR.from_parts(indptr, cols, vals, (m, n), canonical=True)

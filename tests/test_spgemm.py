@@ -197,6 +197,48 @@ def test_alg3_blocked_chunk_fraction_struct_invariant():
                                    rtol=2e-5, atol=1e-6)
 
 
+def test_alg3_scan_streamed_count_matches_fast(monkeypatch):
+    """The panel-streamed sizing pass (used past the fast-count byte
+    budget) and the resident-pattern fast count produce identical
+    structure, and the compute output is bitwise invariant to which one
+    sized it."""
+    from spmm_tpu.ops import spgemm_blocked as bl
+
+    A, B, _, _ = make_pair(260, 180, 220, 0.12, 0.1)
+    C_fast = bl.spgemm_alg3_blocked(A, B, 1.0, 0.3, unroll=False)
+    monkeypatch.setattr(bl, "_FAST_COUNT_BUDGET", 0)
+    C_slow = bl.spgemm_alg3_blocked(A, B, 1.0, 0.3, unroll=False)
+    np.testing.assert_array_equal(np.asarray(C_fast.indptr),
+                                  np.asarray(C_slow.indptr))
+    np.testing.assert_array_equal(np.asarray(C_fast.indices),
+                                  np.asarray(C_slow.indices))
+    np.testing.assert_array_equal(np.asarray(C_fast.data).view(np.uint32),
+                                  np.asarray(C_slow.data).view(np.uint32))
+
+
+def test_alg3_scan_tiny_marker_collision_safe():
+    """An input storing the +TINY marker value must take the two-scatter
+    safe densify and still produce the exact structural result."""
+    from spmm_tpu.ops.spgemm_blocked import _TINY, spgemm_alg3_blocked
+
+    A, B, As, Bs = make_pair(150, 120, 140, 0.1, 0.1)
+    data = np.asarray(A.data).copy()
+    data[0] = np.float32(_TINY)
+    A = st.CSR.from_parts(A.indptr, A.indices, jnp.asarray(data),
+                          A.shape, canonical=True)
+    C = spgemm_alg3_blocked(A, B, 1.0, 0.3, unroll=False)
+    import scipy.sparse as sp
+
+    As2 = sp.csr_matrix((data, np.asarray(A.indices),
+                         np.asarray(A.indptr)), shape=A.shape)
+    ref = (As2 @ Bs).tocsr()
+    ref.sort_indices()
+    np.testing.assert_array_equal(np.asarray(C.indices), ref.indices)
+    np.testing.assert_allclose(np.asarray(C.data), ref.data, rtol=2e-5,
+                               atol=1e-30)
+    assert np.asarray(C.data)[0] != 0 or ref.data[0] != 0
+
+
 def test_alg3_blocked_unrolled_matches_scan_bitwise():
     """The unrolled single-program alg3 (host-exact sizing, per-tile
     merges) and the scan pipeline build bitwise-identical dense blocks and
