@@ -12,6 +12,16 @@ kernel never materialises gathered B slabs in HBM: B tiles stream straight
 into VMEM per step.  FLOPs are identical; HBM traffic drops from
 O(nblocks·C·N + dense) to O(touched B tiles).
 
+MEASURED VERDICT (v5e, round 3, genuinely-dense 128×128 blocks from
+models.block_sparse, B=(n,256), slope protocol): the XLA `_bsr_spmm`
+path wins everywhere — 0.203 vs 0.388 ms at 4096²/block-density 0.05,
+1.06 vs 1.65 at 0.15, 0.56 vs 0.92 at 8192²/0.02 — the per-step grid
+overhead outweighs the HBM-traffic saving at these shapes.  BSR itself
+earns its place against the dense route at low block density (XLA BSR
+0.203 vs dense-MXU 0.298 ms at 4096²/0.05; dense wins past ~0.1), so
+`spmm` keeps `_bsr_spmm` as the BSR default and this kernel stays
+opt-in (`via="bsr_pallas"`).
+
 Grid: (mb, N/TN, S) with S = max blocks per block-row; step s beyond a
 row's count is masked (pl.when) and its DMA aliased to a safe tile.
 """

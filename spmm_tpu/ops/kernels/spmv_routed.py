@@ -20,18 +20,24 @@ with dummy edges and peels perfect matchings (scipy Hopcroft–Karp, all
 groups fused block-diagonally so each color round is ONE matching).
 
 Pipeline — ONE fused Pallas kernel (no z intermediate, no XLA repack):
-per (128, 128) tile, lane-gather x by class (C column tiles), multiply
-by pre-binned values, transpose in-register, one static lane-permute
-(`take_along_axis` with the plan's route table) moves each product to
-lane = its row's residue (dead slots read lane 0, masked to +0.0 by
-the route's sign bit), then group-pure SB-row sub-blocks sum straight
-into the lane-major (G, 128) y accumulator — ~1 add per entry, no
-compares, no selects, no MXU.  `spmm_routed` runs the same route for
-KB columns of a dense X per table stream (a two-kernel variant, since
-the KB-wide z blocks don't fit the fused accumulator pattern).
+per (128, 128) tile, lane-gather x by class (C column tiles), transpose
+in-register, one static lane-permute (`take_along_axis` with the plan's
+route table) moves each x value to lane = its row's residue, multiply
+by the values stored directly in ROUTED layout (val_tbl[lane-row, rho];
+dead slots carry 0.0 so no mask/select/max ops are needed — measured
+round 3), then the boundary-split masked sums accumulate into the
+lane-major (G, 128) y accumulator.  The hi (gather-index) table is int8
+when C == 1 (n ≤ 16384) and int16 otherwise — 6-7 B/slot streamed vs
+round 2's 9 (the measured pure-stream floor at 6 B/slot is 73-78
+Gnnz/s; the kernel runs at ~36, bounded by the two lane-gathers at
+~125 ns/tile — probed round 3, jobs 007-012).  `spmm_routed` runs the
+same route for KB columns of a dense X per table stream (a two-kernel
+variant, since the KB-wide z blocks don't fit the fused accumulator
+pattern).
 
 Exactness: products are val * x[col] in f32 (x bitwise through the
-gather), accumulation is an exact f32 sum in a fixed plan+compiler
+gathers — permute-then-multiply is bitwise the old multiply-then-
+permute), accumulation is an exact f32 sum in a fixed plan+compiler
 determined tree order — deterministic across runs, same accuracy class
 as spmv_binned.
 
@@ -81,10 +87,15 @@ class SpmvRoutedPlan(NamedTuple):
     nsteps2: int
     R: int                # class replication (sublanes per class)
     C: int                # x-table column tiles
-    hi_tbl: jnp.ndarray   # (NL, 128) i32 — gather index q per slot
-    val_tbl: jnp.ndarray  # (NL, 128) f32 — pre-binned values (0 = dead)
+    hi_tbl: jnp.ndarray   # (NL, 128) — gather index per slot in GATHER
+    #                       layout (row = tile*128 + class-sublane);
+    #                       int8 when C == 1, int16 otherwise
+    val_tbl: jnp.ndarray  # (NL, 128) f32 — values in ROUTED layout
+    #                       (row = lane-row, col = row residue rho);
+    #                       0.0 = dead slot (doubles as the mask)
     route_tbl: jnp.ndarray  # (NL, 128) i8 — per lane-row: source class
-    #                         (sublane) for each row-slot lane; -1 dead
+    #                         (sublane) for each row-slot lane; dead
+    #                         slots point at 0 (their val is 0.0)
     r0s: jnp.ndarray      # (nsteps2*U2,) i32 — group base row per
     #                       SB-row sub-block (multiple of 128)
     seg_tbl: Optional[jnp.ndarray] = None  # (NL//128,) i32 — per tile:
@@ -412,16 +423,18 @@ def spmv_routed_plan(indptr_host, indices_host, data_host,
     tile = lane >> 7
     ll = lane & 127
 
-    # gather tables are tile-major by SUBLANE (a tile's block rows are
-    # its 128 sublanes, its columns the 128 lanes — the layout
-    # `_gather_route_kernel` slices); the route table is tile-major by
-    # LANE (it applies to the transposed product, rows = lanes)
-    hi_tbl = np.zeros((NLP * 128,), np.int32)
-    val_tbl = np.zeros((NLP * 128,), np.float32)
-    route = np.full((NLP, 128), -1, np.int8)
+    # the gather-index table is tile-major by SUBLANE (a tile's block
+    # rows are its 128 class-sublanes, its columns the 128 lane-rows);
+    # the route and VALUE tables are tile-major by LANE-ROW in routed
+    # layout (row = lane-row, col = row residue) so the kernel multiplies
+    # after the permute and dead slots need no mask (val 0.0)
+    hi_dt = np.int8 if C == 1 else np.int16
+    hi_tbl = np.zeros((NLP * 128,), hi_dt)
+    val_rt = np.zeros((NLP, 128), np.float32)
+    route = np.zeros((NLP, 128), np.int8)
     flat_g = (tile * 128 + sub) * 128 + ll
-    hi_tbl[flat_g] = q
-    val_tbl[flat_g] = data.astype(np.float32)
+    hi_tbl[flat_g] = q.astype(hi_dt)
+    val_rt[lane, rho] = data.astype(np.float32)
     route[lane, rho] = sub.astype(np.int8)
 
     # group base row per SB-row sub-block (sub-blocks are group-pure:
@@ -450,26 +463,50 @@ def spmv_routed_plan(indptr_host, indices_host, data_host,
     return SpmvRoutedPlan(
         m=m, n=n, NL=NLP, nsteps1=nsteps1, nsteps2=nsteps2, R=R, C=C,
         hi_tbl=jnp.asarray(hi_tbl.reshape(NLP, 128)),
-        val_tbl=jnp.asarray(val_tbl.reshape(NLP, 128)),
+        val_tbl=jnp.asarray(val_rt),
         route_tbl=jnp.asarray(route),
         r0s=jnp.asarray(r0s), seg_tbl=seg_tbl, nseg=nseg)
 
 
-U1F = 2          # fused-kernel tiles per grid step.  Measured on v5e
-#                  (benchmarks/spmv_lab5.py): U1F=2 is 1.4-1.5x over
-#                  U1F=1 at 1M+ nnz (per-grid-step cost halves); U1F=4
-#                  regresses (31.9 vs 26.5 us at 1M nnz) and 64 dynamic
-#                  stores per step risks the Mosaic compile-time wall.
-#                  NLP is a multiple of U1*128=1024, so the U1F grid
+U1F = 4          # fused-kernel tiles per grid step at large NL.
+#                  Measured on v5e: with the routed-value layout + seg
+#                  reduce U1F=4 wins at 1M nnz (30.3 vs 34.4 us, job
+#                  004) and U1F=8 regresses; at small NL (16-tile
+#                  plans) U1F=4 LOSES (7.6 vs 4.6 us at 100k nnz, job
+#                  015) so `_u1f_for` drops to 2 below the threshold.
+#                  NLP is a multiple of U1*128=1024, so the grid
 #                  divides the padded tables for any U1F <= 8.
+U1F_SMALL_NL = 4096   # lane-rows below which U1F=2 wins
+
+
+def _u1f_for(NL: int) -> int:
+    return 2 if NL <= U1F_SMALL_NL else U1F
+
+
+def _routed_products(xq, hi, route_r, val_r, C: int):
+    """Shared tile body: lane-gather x by class, transpose, route to
+    (lane-row, rho), multiply by routed-layout values (dead slots 0.0 —
+    no mask ops).  Bitwise equal to the round-2 multiply-then-permute
+    formulation."""
+    idx = hi.astype(jnp.int32)
+    if C > 1:
+        idx = idx & 127
+    xv = jnp.take_along_axis(xq[0:128, :], idx, axis=1)
+    for t in range(1, C):
+        xt = jnp.take_along_axis(xq[t * 128:(t + 1) * 128, :], idx,
+                                 axis=1)
+        xv = jnp.where((hi.astype(jnp.int32) >> 7) == t, xt, xv)
+    r = route_r.astype(jnp.int32)
+    return val_r * jnp.take_along_axis(xv.T, r, axis=1)
 
 
 def _fused_kernel(r0s_ref, hi_ref, val_ref, route_ref, xq_ref, y_ref,
-                  *, C: int):
+                  *, C: int, u1f: int):
     """Gather + route + sublane-sum in ONE kernel: the z intermediate
     (write + read ≈ 8 of the ~17 HBM bytes/slot) never exists.
     Sub-blocks of SB lane-rows are group-pure, so each sums straight
-    into its group's row of the (G_pad, 128) accumulator."""
+    into its group's row of the (G_pad, 128) accumulator.  Fallback for
+    plans whose tiles exceed 2 group segments (nseg == 0)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -478,31 +515,21 @@ def _fused_kernel(r0s_ref, hi_ref, val_ref, route_ref, xq_ref, y_ref,
 
     xq = xq_ref[...]
     iota8 = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    for j in range(U1F):
+    for j in range(u1f):
         sl = slice(j * 128, (j + 1) * 128)
-        hi = hi_ref[sl, :]
-        idx = hi & 127
-        xv = jnp.take_along_axis(xq[0:128, :], idx, axis=1)
-        for t in range(1, C):
-            xt = jnp.take_along_axis(xq[t * 128:(t + 1) * 128, :], idx,
-                                     axis=1)
-            xv = jnp.where((hi >> 7) == t, xt, xv)
-        prod = (val_ref[sl, :] * xv).T
-        r = route_ref[sl, :].astype(jnp.int32)
-        routed = jnp.where(
-            r >= 0, jnp.take_along_axis(prod, jnp.maximum(r, 0), axis=1),
-            0.0)
+        routed = _routed_products(xq, hi_ref[sl, :], route_ref[sl, :],
+                                  val_ref[sl, :], C)
         for u in range(128 // SB):
             y_win = jnp.sum(routed[u * SB:(u + 1) * SB, :], axis=0,
                             keepdims=True)
-            g = r0s_ref[(i * U1F + j) * (128 // SB) + u] >> 7
+            g = r0s_ref[(i * u1f + j) * (128 // SB) + u] >> 7
             s = pl.multiple_of(g & (-8), 8)
             y8 = jnp.where(iota8 == (g & 7), y_win, 0.0)
             y_ref[pl.ds(s, 8), :] += y8
 
 
 def _fused_kernel_seg(seg_ref, hi_ref, val_ref, route_ref, xq_ref, y_ref,
-                      *, C: int, ngroups: int):
+                      *, C: int, ngroups: int, u1f: int):
     """Boundary-split variant of `_fused_kernel`: the plan guarantees
     <= 2 group segments per 128-lane-row tile (consecutive groups), so
     the 16 per-sub-block masked dynamic y updates collapse to TWO —
@@ -522,21 +549,11 @@ def _fused_kernel_seg(seg_ref, hi_ref, val_ref, route_ref, xq_ref, y_ref,
     xq = xq_ref[...]
     iota8 = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     iota128 = lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-    for j in range(U1F):
+    for j in range(u1f):
         sl = slice(j * 128, (j + 1) * 128)
-        hi = hi_ref[sl, :]
-        idx = hi & 127
-        xv = jnp.take_along_axis(xq[0:128, :], idx, axis=1)
-        for t in range(1, C):
-            xt = jnp.take_along_axis(xq[t * 128:(t + 1) * 128, :], idx,
-                                     axis=1)
-            xv = jnp.where((hi >> 7) == t, xt, xv)
-        prod = (val_ref[sl, :] * xv).T
-        r = route_ref[sl, :].astype(jnp.int32)
-        routed = jnp.where(
-            r >= 0, jnp.take_along_axis(prod, jnp.maximum(r, 0), axis=1),
-            0.0)
-        w = seg_ref[i * U1F + j]
+        routed = _routed_products(xq, hi_ref[sl, :], route_ref[sl, :],
+                                  val_ref[sl, :], C)
+        w = seg_ref[i * u1f + j]
         g1 = w >> 5
         b8 = (w & 31) * SB
         c1 = jnp.sum(jnp.where(iota128 < b8, routed, 0.0), axis=0,
@@ -563,19 +580,20 @@ def _spmv_routed_call(hi_tbl, val_tbl, route_tbl, sc, x,
                   (1, R, 1)).reshape(C * 128, 128)
 
     G_pad = _round_up(_ceil_div(m, 128), 8)
-    nstepsf = max(_ceil_div(NL, U1F * 128), 1)
+    u1f = _u1f_for(NL)
+    nstepsf = max(_ceil_div(NL, u1f * 128), 1)
     if nseg == 2:
         kern = functools.partial(_fused_kernel_seg, C=C,
-                                 ngroups=_ceil_div(m, 128))
+                                 ngroups=_ceil_div(m, 128), u1f=u1f)
     else:
-        kern = functools.partial(_fused_kernel, C=C)
+        kern = functools.partial(_fused_kernel, C=C, u1f=u1f)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nstepsf,),
         in_specs=[
-            pl.BlockSpec((U1F * 128, 128), lambda i, r: (i, 0)),
-            pl.BlockSpec((U1F * 128, 128), lambda i, r: (i, 0)),
-            pl.BlockSpec((U1F * 128, 128), lambda i, r: (i, 0)),
+            pl.BlockSpec((u1f * 128, 128), lambda i, r: (i, 0)),
+            pl.BlockSpec((u1f * 128, 128), lambda i, r: (i, 0)),
+            pl.BlockSpec((u1f * 128, 128), lambda i, r: (i, 0)),
             pl.BlockSpec((C * 128, 128), lambda i, r: (0, 0)),
         ],
         out_specs=pl.BlockSpec((G_pad, 128), lambda i, r: (0, 0)),
@@ -613,16 +631,17 @@ def _gather_route_kernel_m(hi_ref, val_ref, route_ref, xq_ref, out_ref,
                            *, C: int):
     """Multi-column gather+route: xq_ref stacks KB column tiles
     ((KB*C*128, 128)); column c's routed products land in out lanes
-    [c*128, (c+1)*128)."""
+    [c*128, (c+1)*128).  Same routed-value layout as the fused SpMV
+    kernel (dead slots multiply by 0.0, no masks)."""
     xq = xq_ref[...]
     for j in range(U1M):
         sl = slice(j * 128, (j + 1) * 128)
         hi = hi_ref[sl, :]
-        idx = hi & 127
-        val = val_ref[sl, :]
+        idx = hi.astype(jnp.int32)
+        if C > 1:
+            idx = idx & 127
+        val_r = val_ref[sl, :]
         r = route_ref[sl, :].astype(jnp.int32)
-        ridx = jnp.maximum(r, 0)
-        rmask = r >= 0
         for c in range(KB):
             base = c * C * 128
             xv = jnp.take_along_axis(xq[base:base + 128, :], idx, axis=1)
@@ -630,11 +649,9 @@ def _gather_route_kernel_m(hi_ref, val_ref, route_ref, xq_ref, out_ref,
                 xt = jnp.take_along_axis(
                     xq[base + t * 128:base + (t + 1) * 128, :], idx,
                     axis=1)
-                xv = jnp.where((hi >> 7) == t, xt, xv)
-            prod = (val * xv).T
-            routed = jnp.take_along_axis(prod, ridx, axis=1)
-            out_ref[sl, c * 128:(c + 1) * 128] = jnp.where(
-                rmask, routed, 0.0)
+                xv = jnp.where((hi.astype(jnp.int32) >> 7) == t, xt, xv)
+            out_ref[sl, c * 128:(c + 1) * 128] = val_r * \
+                jnp.take_along_axis(xv.T, r, axis=1)
 
 
 def _sum_kernel_m(r0s_ref, z_ref, y_ref):

@@ -261,13 +261,14 @@ def _alg3_count_fast(a_indptr, a_indices, a_data, b_indptr, b_indices,
                      n_b: int, T: int, P: int, oh_plans=(None, None)):
     """Sizing pass with a resident bf16 B pattern: per-row and per-block
     structural counts from T pattern matmuls (the alg2 count plus a
-    per-panel reshape-sum)."""
+    per-panel reshape-sum).  The pattern is padded to P·n_b columns
+    (>= n_pad when n_pad % n_b != 0) so the per-panel reshape is exact."""
     _, a_pat = _densify_pair(a_indptr, a_indices, a_data, m_pad, k,
                              oh_plans[0])
     _, b_pat = _densify_pair(b_indptr, b_indices, b_data, k, n,
                              oh_plans[1])
-    if n_pad > n:
-        b_pat = jnp.pad(b_pat, ((0, 0), (0, n_pad - n)))
+    if P * n_b > n:
+        b_pat = jnp.pad(b_pat, ((0, 0), (0, P * n_b - n)))
 
     def tile_body(_, t):
         ap = lax.dynamic_slice(a_pat, (t * TILE, _ZERO), (TILE, k))
@@ -455,8 +456,12 @@ def _alg3_compute(a_off, a_end, a_colv, a_val, b_off, b_end, b_rowv,
 # ---------------------------------------------------------------------------
 
 # compile-time bound: each block inlines two densifies, two dots and a
-# compaction sort; past this the scan pipeline takes over
-MAX_UNROLL_BLOCKS = 160
+# compaction sort.  Measured on v5e (round 3): the unrolled engine wins
+# at 1024²/0.1 (3.0 ms vs the scan engine's 7.0) but LOSES from 2048²
+# up (105 ms steady + ~110 s compile at 80 blocks vs the scan engine's
+# 8.3 ms after its per-tile-merge assembly), so the cap sits just above
+# the 1024-class grids.
+MAX_UNROLL_BLOCKS = 48
 
 
 def _alg3_host_structure(a, b, n_b: int, P: int, T: int):

@@ -216,6 +216,22 @@ def test_alg3_scan_streamed_count_matches_fast(monkeypatch):
                                   np.asarray(C_slow.data).view(np.uint32))
 
 
+def test_alg3_fast_count_nonuniform_panels():
+    """n=600, cf=0.4 → n_pad=640, n_b=256, P=3: P·n_b > n_pad, the
+    regime where the fast count's pattern padding must extend to P·n_b
+    (regression: reshape failure at 4096²/cf=0.2)."""
+    from spmm_tpu.ops.spgemm_blocked import spgemm_alg3_blocked
+
+    A, B, As, Bs = make_pair(150, 140, 600, 0.1, 0.08)
+    C = spgemm_alg3_blocked(A, B, 1.0, 0.4, unroll=False)
+    ref = (As @ Bs).tocsr()
+    ref.sort_indices()
+    np.testing.assert_array_equal(np.asarray(C.indptr), ref.indptr)
+    np.testing.assert_array_equal(np.asarray(C.indices), ref.indices)
+    np.testing.assert_allclose(np.asarray(C.data), ref.data, rtol=2e-5,
+                               atol=1e-30)
+
+
 def test_alg3_scan_tiny_marker_collision_safe():
     """An input storing the +TINY marker value must take the two-scatter
     safe densify and still produce the exact structural result."""
