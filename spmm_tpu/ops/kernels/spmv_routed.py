@@ -726,22 +726,120 @@ def _spmm_routed_call(hi_tbl, val_tbl, route_tbl, r0s, xb,
     return yk.T
 
 
+def _fused_kernel_seg_m(seg_ref, hi_ref, valr_ref, route_ref, xq_ref,
+                        y_ref, *, C: int, ngroups: int, u1f: int):
+    """Fused KB-column variant of `_fused_kernel_seg`: the z intermediate
+    of the two-kernel path (8 HBM bytes per slot·column write+read —
+    dominant at extreme sparsity, VERDICT r2 weak-8) never exists; the
+    (G_pad, KB·128) accumulator lives in VMEM and the boundary-split
+    updates cover all KB columns at once."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    xq = xq_ref[...]
+    iota8 = lax.broadcasted_iota(jnp.int32, (8, KB * 128), 0)
+    iota128 = lax.broadcasted_iota(jnp.int32, (128, KB * 128), 0)
+    for j in range(u1f):
+        sl = slice(j * 128, (j + 1) * 128)
+        hi = hi_ref[sl, :]
+        idx = hi.astype(jnp.int32)
+        if C > 1:
+            idx = idx & 127
+        val_r = valr_ref[sl, :]
+        r = route_ref[sl, :].astype(jnp.int32)
+        cols = []
+        for c in range(KB):
+            base = c * C * 128
+            xv = jnp.take_along_axis(xq[base:base + 128, :], idx, axis=1)
+            for t in range(1, C):
+                xt = jnp.take_along_axis(
+                    xq[base + t * 128:base + (t + 1) * 128, :], idx,
+                    axis=1)
+                xv = jnp.where((hi.astype(jnp.int32) >> 7) == t, xt, xv)
+            cols.append(val_r * jnp.take_along_axis(xv.T, r, axis=1))
+        routed = jnp.concatenate(cols, axis=1)       # (128, KB*128)
+        w = seg_ref[i * u1f + j]
+        g1 = w >> 5
+        b8 = (w & 31) * SB
+        g2 = jnp.minimum(g1 + 1, ngroups - 1)
+        c1 = jnp.sum(jnp.where(iota128 < b8, routed, 0.0), axis=0,
+                     keepdims=True)
+        c2 = jnp.sum(jnp.where(iota128 >= b8, routed, 0.0), axis=0,
+                     keepdims=True)
+        s1 = pl.multiple_of(g1 & (-8), 8)
+        y_ref[pl.ds(s1, 8), :] += jnp.where(iota8 == (g1 & 7), c1, 0.0)
+        s2 = pl.multiple_of(g2 & (-8), 8)
+        y_ref[pl.ds(s2, 8), :] += jnp.where(iota8 == (g2 & 7), c2, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("plan_static", "interpret"))
+def _spmm_routed_call_fused(hi_tbl, val_tbl, route_tbl, seg, xb,
+                            plan_static, interpret=False):
+    """Fused one-kernel KB-column block (requires a seg2 plan)."""
+    m, n, NL, R, C = plan_static
+    m128 = 128 // R
+    n_pad = C * 128 * m128
+    xp = xb.astype(jnp.float32)
+    if n < n_pad:
+        xp = jnp.concatenate(
+            [xp, jnp.zeros((n_pad - n, KB), jnp.float32)], axis=0)
+    xq = jnp.tile(xp.T.reshape(KB, C, 128, m128).transpose(0, 1, 3, 2),
+                  (1, 1, R, 1)).reshape(KB * C * 128, 128)
+    G_pad = _round_up(_ceil_div(m, 128), 8)
+    u1f = _u1f_for(NL)
+    nstepsf = max(_ceil_div(NL, u1f * 128), 1)
+    kern = functools.partial(_fused_kernel_seg_m, C=C,
+                             ngroups=_ceil_div(m, 128), u1f=u1f)
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nstepsf,),
+        in_specs=[
+            pl.BlockSpec((u1f * 128, 128), lambda i, r: (i, 0)),
+            pl.BlockSpec((u1f * 128, 128), lambda i, r: (i, 0)),
+            pl.BlockSpec((u1f * 128, 128), lambda i, r: (i, 0)),
+            pl.BlockSpec((KB * C * 128, 128), lambda i, r: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((G_pad, KB * 128), lambda i, r: (0, 0)),
+    )
+    y = pl.pallas_call(
+        kern, grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((G_pad, KB * 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+        interpret=interpret,
+    )(seg, hi_tbl, val_tbl, route_tbl, xq)
+    yk = y.reshape(G_pad, KB, 128).transpose(1, 0, 2).reshape(
+        KB, G_pad * 128)[:, :m]
+    return yk.T
+
+
 def spmm_routed(x, plan: SpmvRoutedPlan, interpret: bool = False):
     """Y = A @ X for dense X (n, k) over the fixed-structure plan —
     the cuSPARSE SpMM analogue (cusparse.py:1440-1514) at SpMV's
     per-entry cost: the routing tables stream once per KB-column block
-    instead of once per column."""
+    instead of once per column.  seg2 plans take the fused one-kernel
+    path (no z intermediate); others fall back to gather+route / sum."""
     n, k = x.shape
-    ps = (plan.m, plan.n, plan.NL, plan.nsteps1, plan.nsteps2,
-          plan.R, plan.C)
     k_pad = _round_up(max(k, 1), KB)
     if k_pad != k:
         x = jnp.concatenate(
             [x, jnp.zeros((n, k_pad - k), x.dtype)], axis=1)
+    fused = plan.nseg == 2 and plan.seg_tbl is not None
     outs = []
     for b in range(k_pad // KB):
-        outs.append(_spmm_routed_call(
-            plan.hi_tbl, plan.val_tbl, plan.route_tbl, plan.r0s,
-            x[:, b * KB:(b + 1) * KB], ps, interpret))
+        xb = x[:, b * KB:(b + 1) * KB]
+        if fused:
+            ps = (plan.m, plan.n, plan.NL, plan.R, plan.C)
+            outs.append(_spmm_routed_call_fused(
+                plan.hi_tbl, plan.val_tbl, plan.route_tbl, plan.seg_tbl,
+                xb, ps, interpret))
+        else:
+            ps = (plan.m, plan.n, plan.NL, plan.nsteps1, plan.nsteps2,
+                  plan.R, plan.C)
+            outs.append(_spmm_routed_call(
+                plan.hi_tbl, plan.val_tbl, plan.route_tbl, plan.r0s,
+                xb, ps, interpret))
     y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
     return y[:, :k]

@@ -158,6 +158,31 @@ def test_spmm_routed_scipy_parity():
     np.testing.assert_allclose(Y, ref, atol=4e-7 * scale)
 
 
+def test_spmm_routed_fused_matches_two_kernel():
+    """seg2 plans take the fused one-kernel SpMM (no z intermediate);
+    its output must sit within the f32 fixed-order bound of float64 and
+    agree with the two-kernel fallback to sum accuracy."""
+    from scipy import sparse as sp
+
+    from spmm_tpu.ops.kernels.spmv_routed import spmm_routed
+
+    plan, indptr, idx, dat, x, m, n = _boundary_plan_case(1.0, 1e4,
+                                                          seed=5)
+    assert plan.nseg == 2
+    X = np.random.default_rng(8).standard_normal((n, 13)).astype(
+        np.float32)
+    Yf = np.asarray(spmm_routed(jnp.asarray(X), plan, interpret=True))
+    Y2 = np.asarray(spmm_routed(
+        jnp.asarray(X), plan._replace(seg_tbl=None, nseg=0),
+        interpret=True))
+    A64 = sp.csr_matrix((dat.astype(np.float64), idx, indptr),
+                        shape=(m, n))
+    ref = A64 @ X.astype(np.float64)
+    rowabs = np.asarray(abs(A64) @ np.abs(X.astype(np.float64))) + 1e-30
+    assert np.max(np.abs(Yf - ref) / rowabs) < 4e-7
+    assert np.max(np.abs(Y2 - ref) / rowabs) < 4e-7
+
+
 def test_spmm_plan_dispatch():
     """ops.spmm honors a routed plan tuple (CPU: plan is None, but the
     code path with an explicit interpret-built plan must agree)."""
