@@ -39,7 +39,7 @@ DENSITY = 0.1
 # an artifact of the remote tunnel: a trivial 1000-iteration scan and a
 # 10-iteration one take the same wall time (measured round 2).  K must be
 # large enough that the per-call overhead amortizes below the noise.
-K_INNER = 200
+K_INNER = 100
 REPS = 7
 
 
@@ -62,25 +62,7 @@ def main():
     alpha = jnp.float32(1.0)
     nnz_a = A.nnz
 
-    # measure the relay's per-program-call overhead with a trivial scan so
-    # it can be subtracted (it is a tunnel artifact, not device time); the
-    # per-iteration device cost of the trivial body is ~0
-    @jax.jit
-    def trivial(x):
-        def body(c, _):
-            return c * 1.0000001, ()
-        cf, _ = lax.scan(body, x, None, length=K_INNER)
-        return cf
-
-    jax.block_until_ready(trivial(jnp.float32(1.0)))
-    overheads = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        jax.block_until_ready(trivial(jnp.float32(1.0)))
-        overheads.append((time.perf_counter() - t0) * 1e3)
-    call_overhead = statistics.median(overheads)
-
-    def make_loop(plans):
+    def make_loop(plans, K):
         @jax.jit
         def loop(data_a):
             def body(d, _):
@@ -93,27 +75,37 @@ def main():
                 d_next = d + 0.0 * lax.dynamic_slice(dat, (0,), (nnz_a,))
                 return d_next, nnz
 
-            d_final, nnzs = lax.scan(body, data_a, None, length=K_INNER)
+            d_final, nnzs = lax.scan(body, data_a, None, length=K)
             return d_final, nnzs
         return loop
 
-    def measure(loop):
-        jax.block_until_ready(loop(A.data))  # compile + warm
-        times = []
+    def measure(plans):
+        # TWO-K SLOPE protocol: the relay's per-call overhead fluctuates
+        # 2-30 ms (CLAUDE.md), so calibrate-then-subtract can be ±20% on
+        # a sub-ms metric; the slope between K=100 and K=500 iterations
+        # of the same program cancels it exactly.
+        l1 = make_loop(plans, K_INNER)
+        l2 = make_loop(plans, 5 * K_INNER)
+        jax.block_until_ready(l1(A.data))  # compile + warm
+        jax.block_until_ready(l2(A.data))
+        slopes = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            jax.block_until_ready(loop(A.data))
-            times.append(((time.perf_counter() - t0) * 1e3
-                          - call_overhead) / K_INNER)
-        return statistics.median(times)
+            jax.block_until_ready(l1(A.data))
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            jax.block_until_ready(l2(A.data))
+            t2 = time.perf_counter() - t0
+            slopes.append((t2 - t1) * 1e3 / (4 * K_INNER))
+        return statistics.median(slopes)
 
     # serving path: densify plans + capacity hoisted per structure (the
     # cuSPARSE descriptor/workspace-reuse pattern)
-    med = measure(make_loop(oh_plans))
+    med = measure(oh_plans)
     # full pipeline: only the output capacity is preallocated; densify
     # plans and all structure work recomputed every call (the honest
     # per-call figure VERDICT r2 weak-6 asked to carry alongside)
-    med_full = measure(make_loop((None, None)))
+    med_full = measure((None, None))
     print(json.dumps({
         "metric": "spgemm_csr_n1024_d0.1_median_ms",
         "value": round(med, 4),

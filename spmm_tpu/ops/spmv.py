@@ -69,11 +69,12 @@ def spmv_plan(a, effort: str = "auto"):
     descriptor + analysis reuse (cusparse.py:1373-1438, the createDnVec/
     CsrMat + buffer sizing done once per structure).
 
-    Plan preference (measured on v5e, BENCH_SUMMARY.md):
-    routed (kernels/spmv_routed, 5-14 Gnnz/s) > binned
+    Plan preference (measured on v5e, BENCH_SUMMARY.md round 3):
+    routed (kernels/spmv_routed, 19-38 Gnnz/s) > binned
     (kernels/spmv_binned, 1.5-1.7 Gnnz/s) > one-hot (0.5) > None
     (gather+segment-sum).  The routed plan's edge-coloring analysis
-    costs ~0.7 s at 100k nnz / ~4 s at 1M (host, deterministic);
+    costs ~0.2 s at 100k nnz / 1-2.6 s at 1M (host, deterministic,
+    persistable via sparse.io.save_spmv_plan);
     `effort` trades analysis for execution: "auto" (default) attempts
     routed up to 8M nnz, "max" always, "fast" never (the per-call eager
     path uses "fast" — its binned analysis is milliseconds).
