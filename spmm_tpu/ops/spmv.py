@@ -73,12 +73,15 @@ def spmv_plan(a, effort: str = "auto"):
     routed (kernels/spmv_routed, 19-38 Gnnz/s) > binned
     (kernels/spmv_binned, 1.5-1.7 Gnnz/s) > one-hot (0.5) > None
     (gather+segment-sum).  The routed plan's edge-coloring analysis
-    costs ~0.2 s at 100k nnz / 1-2.6 s at 1M (host, deterministic,
-    persistable via sparse.io.save_spmv_plan);
-    `effort` trades analysis for execution: "auto" (default) attempts
-    routed up to 8M nnz, "max" always, "fast" never (the per-call eager
-    path uses "fast" — its binned analysis is milliseconds).
-    Returns an opaque tagged plan for `spmv(..., plan=...)`."""
+    runs in the native sequential-Koenig planner when
+    native/libspmv_planner.so is available (~0.1 s at 1M nnz, 1.3 s at
+    8M — round 3; the numpy fallback is ~1-4 s at 1M) and the plan is
+    persistable via sparse.io.save_spmv_plan.  `effort` trades analysis
+    for execution: "auto" (default) attempts routed up to 32M nnz with
+    the native planner (8M without), "max" always, "fast" never (the
+    per-call eager path uses "fast" — its binned analysis is
+    milliseconds).  Returns an opaque tagged plan for
+    `spmv(..., plan=...)`."""
     from spmm_tpu.ops.kernels.spmv_binned import spmv_binned_plan
 
     if jax.default_backend() != "tpu" or a.dtype != jnp.float32:
@@ -90,7 +93,11 @@ def spmv_plan(a, effort: str = "auto"):
     iph = np.asarray(a.indptr)
     ixh = np.asarray(a.indices)
     dvh = np.asarray(a.data)
-    if effort == "max" or (effort == "auto" and a.nnz <= (1 << 23)):
+    if effort == "auto":
+        from spmm_tpu.ops.kernels import _native_planner
+
+        auto_cap = (1 << 25) if _native_planner.available() else (1 << 23)
+    if effort == "max" or (effort == "auto" and a.nnz <= auto_cap):
         from spmm_tpu.ops.kernels.spmv_routed import spmv_routed_plan
 
         rp = spmv_routed_plan(iph, ixh, dvh, m, n)
