@@ -42,10 +42,14 @@ determined tree order — deterministic across runs, same accuracy class
 as spmv_binned.
 
 Slack: the padded-slot count is L_g = max over the group of (class bin
-size / R, row degree), rounded to the row-block granularity — row
-degree is the new binding term (spmv_binned had only bin size).  Plans
-with pathological skew return None and callers fall back to
-spmv_binned.
+size / R, row degree), rounded to the row-block granularity — BOTH
+~3-sigma Poisson tails on random matrices (~1.44 slots/nnz), and
+measured throughput scales exactly with 1/slots (v5e job 101).
+Reducing it is an open lead: same-group spill sections provably cannot
+help (the worst row still needs maxdeg lanes total) and per-tile
+seg/fallback branching costs ~33% everywhere (Mosaic predication) —
+see CLAUDE.md.  Plans with pathological skew return None and callers
+fall back to spmv_binned.
 """
 
 from __future__ import annotations
@@ -380,7 +384,12 @@ def spmv_routed_plan(indptr_host, indices_host, data_host,
             SB, _ceil_div(np.maximum(_ceil_div(maxbin, R_c), maxdeg), SB)
             * SB)
         slots_c = int(L_gc.sum()) * 128
-        cost = slots_c * (1.0 + 0.03 * (C_c - 1))
+        # per-extra-x-tile cost measured on v5e (job 101): C=3 runs at
+        # ~1.53x the per-slot cost of C=1 (each extra tile adds a
+        # lane-gather + select per product tile), so +26%/tile — the
+        # round-2 model's 3% badly under-penalised C and picked R=4/C=3
+        # plans that LOST to R=1/C=1 despite fewer slots
+        cost = slots_c * (1.0 + 0.26 * (C_c - 1))
         if best is None or cost < best[0]:
             best = (cost, R_c, C_c, L_gc)
     if best is None:
@@ -392,19 +401,26 @@ def spmv_routed_plan(indptr_host, indices_host, data_host,
     slots = int(L_g.sum()) * 128
     if slots > 8 * max(nnz, 1) or slots > (1 << 27):
         return None
+    L_g = L_g.astype(np.int64)
 
-    lane_local, sub = _color_groups(gr, cls, rho, ngroups, m128, R,
-                                    L_g.astype(np.int64))
-    if lane_local is None:
-        return None
+    # NOTE (round 3, measured on v5e): a same-group spill section (cap
+    # each group's budget, reroute overflow to appended pseudo-groups)
+    # can NEVER win — the worst row still needs maxdeg lanes TOTAL, so
+    # cap + spill-budget >= maxdeg, and a per-tile seg/fallback branch
+    # inside the kernel costs ~33% on EVERY tile (Mosaic predication
+    # pays both sides: 34.4 -> 25.9 Gnnz/s at 1M nnz with zero
+    # fallback tiles).  Slack reduction below max(maxdeg, maxbin/R)
+    # therefore requires re-homing overflow ROWS (a y-recombination
+    # epilogue), not sections — measured dead end recorded in
+    # CLAUDE.md; budgets stay the two-tail maxima here.
 
-    # seg2 padding: pad group budgets so no 128-lane-row tile contains
-    # more than ONE interior group boundary (<= 2 group segments/tile),
-    # enabling the boundary-split y-update kernel (16 masked dynamic
-    # updates -> 2; measured 1.26x at 1M nnz).  Only increases budgets,
-    # so the coloring stays valid.  Rejected when the slot slack
-    # exceeds SEG_PAD_FRAC — the fallback kernel then handles any
-    # segment count.
+    # seg padding: align group budgets so no 128-lane-row tile spans
+    # more than TWO groups — then every tile's y updates collapse to 2
+    # (prefix/suffix masked sums, branch-free kernel).  Walk groups: if
+    # a group ends mid-tile and another group already ended in that
+    # tile, pad it to the tile end.  Accepted only when the added slack
+    # stays under SEG_PAD_FRAC; otherwise the plan keeps the unpadded
+    # budgets and the per-sub-block fallback kernel runs instead.
     Lu = (L_g // SB).astype(np.int64)
     TU = 128 // SB
     Lp = Lu.copy()
@@ -424,9 +440,11 @@ def spmv_routed_plan(indptr_host, indices_host, data_host,
     if (int(Lp.sum()) <= (1.0 + SEG_PAD_FRAC) * int(Lu.sum())
             and padded_slots <= 8 * max(nnz, 1)
             and padded_slots <= (1 << 27)):
-        # skip the padding (not the plan) if it would bust the slot caps
-        # the un-padded plan just validated
-        L_g = (Lp * SB).astype(L_g.dtype)
+        L_g = Lp * SB
+
+    lane_local, sub = _color_groups(gr, cls, rho, ngroups, m128, R, L_g)
+    if lane_local is None:
+        return None
 
     lane_base = np.zeros(ngroups + 1, np.int64)
     np.cumsum(L_g, out=lane_base[1:])
@@ -457,26 +475,29 @@ def spmv_routed_plan(indptr_host, indices_host, data_host,
     route[lane, rho] = sub.astype(np.int8)
 
     # group base row per SB-row sub-block (sub-blocks are group-pure:
-    # L_g is a multiple of SB); sized to the FULL padded lane-row count
-    # so both the fused kernel (grid over NL1 tiles) and the two-kernel
-    # sum (grid over NL2) stay in bounds — dead sub-blocks add +0.0 to
-    # whatever group searchsorted clamps them to
-    first_lane = np.arange(NLP // SB, dtype=np.int64) * SB
-    grp = np.searchsorted(lane_base[1:], first_lane, side="right")
-    grp = np.minimum(grp, ngroups - 1)
+    # all budgets are multiples of SB); dead sub-blocks (layout pad +
+    # grid tail) point at the last group and add +0.0
+    units = np.repeat(np.arange(ngroups, dtype=np.int64), L_g // SB)
+    grp = np.full(NLP // SB, ngroups - 1, np.int64)
+    grp[:units.size] = units
     r0s = (grp * 128).astype(np.int32)
 
-    # per-tile packed segment word for the boundary-split kernel: the
-    # dead tail merges into the last group (its slots sum +0.0), so a
-    # tile's sub-block groups form <= nseg runs of CONSECUTIVE groups
-    gt = (r0s.astype(np.int64) >> 7).reshape(-1, TU)
+    # per-tile packed segment word: g1 (13 bits) | g2 (13 bits) |
+    # boundary sub-block (5 bits).  Unlike round 2's encoding, g2 is
+    # explicit (not assumed g1+1), so any two-group tile packs.  The
+    # boundary-split kernel is branch-free, so it applies only when
+    # EVERY tile packs (a per-tile seg/fallback branch costs ~33% on
+    # all tiles — Mosaic predication executes both sides; measured
+    # round 3); otherwise the per-sub-block fallback kernel runs.
+    gt = grp.reshape(-1, TU)
     nrun = 1 + (gt[:, 1:] != gt[:, :-1]).sum(axis=1)
     seg_tbl = None
     nseg = 0
-    if int(nrun.max()) <= 2:
-        bnd = np.where(nrun == 1, TU,
-                       TU - (gt != gt[:, :1]).sum(axis=1))
-        seg_tbl = jnp.asarray((gt[:, 0] << 5 | bnd).astype(np.int32))
+    if int(nrun.max()) <= 2 and ngroups <= 8191:
+        k_pref = TU - (gt != gt[:, :1]).sum(axis=1)
+        w = ((gt[:, 0] << 18) | (gt[:, -1] << 5)
+             | np.where(nrun == 1, TU, k_pref))
+        seg_tbl = jnp.asarray(w.astype(np.int32))
         nseg = 2
 
     return SpmvRoutedPlan(
@@ -548,17 +569,18 @@ def _fused_kernel(r0s_ref, hi_ref, val_ref, route_ref, xq_ref, y_ref,
 
 
 def _fused_kernel_seg(seg_ref, hi_ref, val_ref, route_ref, xq_ref, y_ref,
-                      *, C: int, ngroups: int, u1f: int):
+                      *, C: int, u1f: int):
     """Boundary-split variant of `_fused_kernel`: the plan guarantees
-    <= 2 group segments per 128-lane-row tile (consecutive groups), so
-    the 16 per-sub-block masked dynamic y updates collapse to TWO —
-    segment 1 is a prefix-masked full-tile sum, segment 2 a
-    suffix-masked sum (NOT total - prefix: subtracting the prefix from
-    the full-tile sum cancels catastrophically when the two groups'
-    magnitudes differ — measured 100% relative error on 1e8-vs-1e-4
-    scale splits; two direct masked reduces cost the same).  On
-    group-pure tiles the suffix mask is empty, so segment 2 adds an
-    exact +0.0."""
+    <= 2 group segments per 128-lane-row tile (any two groups — the
+    word packs g1<<18 | g2<<5 | boundary), so the 16 per-sub-block
+    masked dynamic y updates collapse to TWO — segment 1 a
+    prefix-masked full-tile sum, segment 2 a suffix-masked sum (NOT
+    total - prefix: subtracting the prefix cancels catastrophically
+    when the two groups' magnitudes differ — measured 100% relative
+    error on 1e8-vs-1e-4 scale splits; two direct masked reduces cost
+    the same).  Group-pure tiles carry boundary 16, so segment 2 adds
+    an exact +0.0.  Branch-free on purpose: a per-tile seg/fallback
+    branch costs ~33% on every tile (measured round 3)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -573,7 +595,8 @@ def _fused_kernel_seg(seg_ref, hi_ref, val_ref, route_ref, xq_ref, y_ref,
         routed = _routed_products(xq, hi_ref[sl, :], route_ref[sl, :],
                                   val_ref[sl, :], C)
         w = seg_ref[i * u1f + j]
-        g1 = w >> 5
+        g1 = w >> 18
+        g2 = (w >> 5) & 0x1FFF
         b8 = (w & 31) * SB
         c1 = jnp.sum(jnp.where(iota128 < b8, routed, 0.0), axis=0,
                      keepdims=True)
@@ -581,13 +604,12 @@ def _fused_kernel_seg(seg_ref, hi_ref, val_ref, route_ref, xq_ref, y_ref,
                      keepdims=True)
         s1 = pl.multiple_of(g1 & (-8), 8)
         y_ref[pl.ds(s1, 8), :] += jnp.where(iota8 == (g1 & 7), c1, 0.0)
-        g2 = jnp.minimum(g1 + 1, ngroups - 1)
         s2 = pl.multiple_of(g2 & (-8), 8)
         y_ref[pl.ds(s2, 8), :] += jnp.where(iota8 == (g2 & 7), c2, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("plan_static", "interpret"))
-def _spmv_routed_call(hi_tbl, val_tbl, route_tbl, sc, x,
+def _spmv_routed_call(hi_tbl, val_tbl, route_tbl, seg, r0s, x,
                       plan_static, interpret=False):
     m, n, NL, nsteps1, nsteps2, R, C, nseg = plan_static
     m128 = 128 // R
@@ -602,9 +624,10 @@ def _spmv_routed_call(hi_tbl, val_tbl, route_tbl, sc, x,
     u1f = _u1f_for(NL)
     nstepsf = max(_ceil_div(NL, u1f * 128), 1)
     if nseg == 2:
-        kern = functools.partial(_fused_kernel_seg, C=C,
-                                 ngroups=_ceil_div(m, 128), u1f=u1f)
+        sc = seg
+        kern = functools.partial(_fused_kernel_seg, C=C, u1f=u1f)
     else:
+        sc = r0s
         kern = functools.partial(_fused_kernel, C=C, u1f=u1f)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -632,9 +655,9 @@ def spmv_routed(x, plan: SpmvRoutedPlan, interpret: bool = False):
     nseg = plan.nseg if plan.seg_tbl is not None else 0
     ps = (plan.m, plan.n, plan.NL, plan.nsteps1, plan.nsteps2,
           plan.R, plan.C, nseg)
-    sc = plan.seg_tbl if nseg == 2 else plan.r0s
+    seg = plan.seg_tbl if nseg == 2 else plan.r0s
     return _spmv_routed_call(plan.hi_tbl, plan.val_tbl, plan.route_tbl,
-                             sc, x, ps, interpret)
+                             seg, plan.r0s, x, ps, interpret)
 
 
 # ===========================================================================
@@ -746,12 +769,13 @@ def _spmm_routed_call(hi_tbl, val_tbl, route_tbl, r0s, xb,
 
 
 def _fused_kernel_seg_m(seg_ref, hi_ref, valr_ref, route_ref, xq_ref,
-                        y_ref, *, C: int, ngroups: int, u1f: int):
+                        y_ref, *, C: int, u1f: int):
     """Fused KB-column variant of `_fused_kernel_seg`: the z intermediate
     of the two-kernel path (8 HBM bytes per slot·column write+read —
     dominant at extreme sparsity, VERDICT r2 weak-8) never exists; the
     (G_pad, KB·128) accumulator lives in VMEM and the boundary-split
-    updates cover all KB columns at once."""
+    updates cover all KB columns at once.  Same segment-word packing
+    as `_fused_kernel_seg` (explicit g1/g2), branch-free."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -781,9 +805,9 @@ def _fused_kernel_seg_m(seg_ref, hi_ref, valr_ref, route_ref, xq_ref,
             cols.append(val_r * jnp.take_along_axis(xv.T, r, axis=1))
         routed = jnp.concatenate(cols, axis=1)       # (128, KB*128)
         w = seg_ref[i * u1f + j]
-        g1 = w >> 5
+        g1 = w >> 18
+        g2 = (w >> 5) & 0x1FFF
         b8 = (w & 31) * SB
-        g2 = jnp.minimum(g1 + 1, ngroups - 1)
         c1 = jnp.sum(jnp.where(iota128 < b8, routed, 0.0), axis=0,
                      keepdims=True)
         c2 = jnp.sum(jnp.where(iota128 >= b8, routed, 0.0), axis=0,
@@ -810,8 +834,7 @@ def _spmm_routed_call_fused(hi_tbl, val_tbl, route_tbl, seg, xb,
     G_pad = _round_up(_ceil_div(m, 128), 8)
     u1f = _u1f_for(NL)
     nstepsf = max(_ceil_div(NL, u1f * 128), 1)
-    kern = functools.partial(_fused_kernel_seg_m, C=C,
-                             ngroups=_ceil_div(m, 128), u1f=u1f)
+    kern = functools.partial(_fused_kernel_seg_m, C=C, u1f=u1f)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nstepsf,),

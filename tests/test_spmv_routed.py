@@ -198,3 +198,51 @@ def test_spmm_plan_dispatch():
     ref = _scipy(a) @ X
     np.testing.assert_allclose(Yk, ref, atol=4e-7 * max(np.abs(ref).max(),
                                                         1e-30))
+
+
+def test_spmv_routed_large_parity():
+    """Large plan (>=128k nnz) through the padded seg path: parity vs
+    scipy for both the boundary-split and forced per-sub-block
+    kernels over the same tables."""
+    m, n = 2000, 2000
+    a = st.random(m, n, 0.034, format="csr", random_state=21)
+    assert a.nnz >= (1 << 17)
+    plan = _plan(a)
+    assert plan is not None
+    x = np.random.default_rng(2).standard_normal(n).astype(np.float32)
+    ref = _scipy(a) @ x
+    y = np.asarray(spmv_routed(jnp.asarray(x), plan, interpret=True))
+    np.testing.assert_allclose(y, ref, atol=4e-7 * np.abs(ref).max())
+    y0 = np.asarray(spmv_routed(
+        jnp.asarray(x), plan._replace(seg_tbl=None, nseg=0),
+        interpret=True))
+    np.testing.assert_allclose(y0, ref, atol=4e-7 * np.abs(ref).max())
+
+
+def test_spmv_routed_fallback_when_padding_too_costly():
+    """Tiny per-group budgets make >2-group tiles unavoidable within
+    the SEG_PAD_FRAC allowance; the plan must then select the
+    per-sub-block fallback kernel (nseg=0) and stay correct."""
+    m = n = 4100
+    a = st.random(m, n, 0.0085, format="csr", random_state=31)
+    plan = _plan(a)
+    assert plan is not None
+    x = np.random.default_rng(3).standard_normal(n).astype(np.float32)
+    y = np.asarray(spmv_routed(jnp.asarray(x), plan, interpret=True))
+    ref = _scipy(a) @ x
+    np.testing.assert_allclose(y, ref, atol=4e-7 * np.abs(ref).max())
+
+
+def test_spmm_routed_large_parity():
+    """KB-column kernels through a large plan."""
+    from spmm_tpu.ops.kernels.spmv_routed import spmm_routed
+
+    m, n = 2000, 2000
+    a = st.random(m, n, 0.034, format="csr", random_state=21)
+    plan = _plan(a)
+    assert plan is not None
+    X = np.random.default_rng(4).standard_normal((n, 5)).astype(
+        np.float32)
+    Y = np.asarray(spmm_routed(jnp.asarray(X), plan, interpret=True))
+    ref = _scipy(a) @ X
+    np.testing.assert_allclose(Y, ref, atol=4e-7 * np.abs(ref).max())
