@@ -70,9 +70,15 @@ def main():
                     A.indptr, A.indices, d, B.indptr, B.indices, B.data,
                     alpha, m, k, n, cap, "highest", True, (None, None),
                     False, plans)
-                # zero-scaled feedback: forces each iteration to depend
-                # on the last without changing values
-                d_next = d + 0.0 * lax.dynamic_slice(dat, (0,), (nnz_a,))
+                # integer-checksum feedback: every output element feeds
+                # the carry through a comparison XLA cannot fold (the
+                # round-2 `0.0 * slice(dat)` form let the algebraic
+                # simplifier drop the extraction entirely — measured
+                # round 3, jobs 109/110: ~2% under-report)
+                chk = jnp.bitwise_xor(
+                    lax.bitcast_convert_type(dat, jnp.int32), col).sum()
+                d_next = d + jnp.where(chk == jnp.int32(123456789),
+                                       jnp.float32(1e-30), 0.0)
                 return d_next, nnz
 
             d_final, nnzs = lax.scan(body, data_a, None, length=K)

@@ -52,9 +52,14 @@ import numpy as np
 
 INDEX_DTYPE = jnp.int32
 
-# entries per sub-chunk / sub-chunks per grid step
-CH_DEFAULT = 1024
-U_DEFAULT = 16
+# entries per sub-chunk / sub-chunks per grid step.  Cost per entry is
+# ~WQ = W*KQ lane/MXU ops per pass, and the window height W shrinks
+# with CH down to the store-alignment floor (W=16 at 1024^2/0.1):
+# measured on v5e round 3 (job 113, checksum-live): CH=256/U=32 runs
+# 0.154 ms vs 0.191 for the round-2 CH=1024/U=16 at the headline
+# config; CH=2048 regresses (W=32).
+CH_DEFAULT = 256
+U_DEFAULT = 32
 # plans whose worst sub-chunk spans more rows than this are rejected (the
 # matrix is too sparse for the windowed kernel — use the XLA scatter)
 W_MAX = 512

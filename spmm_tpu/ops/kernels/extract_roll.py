@@ -49,11 +49,16 @@ def _round_up(x: int, m: int) -> int:
 def extract_roll_applies(cap: int, g_pad: int, dtype) -> bool:
     """Static applicability: f32 on TPU, with the no-wrap plan constraint
     g < B*128 for the B the plan would choose.  The select chain keeps
-    small-g and small-output cases: measured IN-PIPELINE on v5e
-    (alg1_fixed at 1024^2/0.1), roll loses at g=33 (0.74 vs 0.62
-    ms/multiply — the standalone g=33 win was a DCE artifact) and wins
-    standalone at g=513 (0.61 vs 2.9 ms); at 512^2/g=100 it loses
-    (33 vs 2 us).  So: large outputs AND enough holes only."""
+    small-g and small-output cases.  Measured on v5e round 3 (jobs
+    107-110, checksum-live protocol): standalone at 1M/g=33 roll wins
+    (0.128 vs 0.21 ms, bitwise identical) and at g=513 wins 4.8x;
+    inside the alg1 pipeline the choice is NEUTRAL (extraction overlaps
+    the matmul/densify chain: removing it entirely changes the
+    pipeline < 1% — round 2's "0.74 vs 0.62 in-pipeline" comparison
+    was measuring a loop whose extraction had been algebraically
+    folded away).  At 512^2/g=100 roll loses standalone (33 vs 2 us:
+    grid overhead dwarfs the tiny problem).  So: large outputs, and
+    enough holes to beat the per-pass chain."""
     if dtype != jnp.float32:
         return False
     if jax.default_backend() != "tpu":
@@ -61,7 +66,7 @@ def extract_roll_applies(cap: int, g_pad: int, dtype) -> bool:
     B = _pick_b(cap)
     if g_pad >= B * 128:
         return False
-    return cap >= (1 << 19) and g_pad > 128
+    return cap >= (1 << 19) and g_pad >= 32
 
 
 def _pick_b(cap: int) -> int:
