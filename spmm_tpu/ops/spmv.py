@@ -70,7 +70,7 @@ def spmv_plan(a, effort: str = "auto"):
     CsrMat + buffer sizing done once per structure).
 
     Plan preference (measured on v5e, BENCH_SUMMARY.md round 3):
-    routed (kernels/spmv_routed, 19-38 Gnnz/s) > binned
+    routed (kernels/spmv_routed, 13-36 Gnnz/s) > binned
     (kernels/spmv_binned, 1.5-1.7 Gnnz/s) > one-hot (0.5) > None
     (gather+segment-sum).  The routed plan's edge-coloring analysis
     runs in the native sequential-Koenig planner when
