@@ -23,33 +23,53 @@ import spmm_tpu as st  # noqa: E402
 from spmm_tpu.utils import profiler  # noqa: E402
 
 
-def _device_loop_ms(A, B, size, iters=20):
-    """alg1 serving-path throughput: K pipeline iterations in one program
-    (see bench.py — removes per-dispatch latency from the figure)."""
+def _device_loop_ms(A, B, size, iters=100):
+    """alg1 serving-path throughput: the bench.py protocol — K pipeline
+    iterations inside one program, TWO-K slope (cancels the relay's
+    fluctuating per-call overhead), integer-checksum feedback (XLA
+    cannot fold it, unlike the round-2 `0.0 * slice` form)."""
+    import statistics
     import time
 
     import jax
     from jax import lax
 
-    from spmm_tpu.ops.spgemm import _alg1_fixed
+    from spmm_tpu.ops.spgemm import _alg1_fixed, alg1_onehot_plans
 
     cap = st.spgemm(A, B, alg=1).nnz
-    nnz_a = A.nnz
+    oh = alg1_onehot_plans(A, B)
 
-    @jax.jit
-    def loop(data_a):
-        def body(d, _):
-            _, _, dat, nnz = _alg1_fixed(
-                A.indptr, A.indices, d, B.indptr, B.indices, B.data,
-                jnp.float32(1.0), size, size, size, cap)
-            return d + 0.0 * jax.lax.dynamic_slice(dat, (0,), (nnz_a,)), nnz
+    def make(K):
+        @jax.jit
+        def loop(data_a):
+            def body(d, _):
+                _, col, dat, nnz = _alg1_fixed(
+                    A.indptr, A.indices, d, B.indptr, B.indices, B.data,
+                    jnp.float32(1.0), size, size, size, cap, "highest",
+                    True, (None, None), False, oh)
+                chk = jnp.bitwise_xor(
+                    jax.lax.bitcast_convert_type(dat, jnp.int32),
+                    col).sum()
+                d2 = d + jnp.where(chk == jnp.int32(123456789),
+                                   jnp.float32(1e-30), 0.0)
+                return d2, nnz
 
-        return lax.scan(body, data_a, None, length=iters)
+            return lax.scan(body, data_a, None, length=K)
+        return loop
 
-    jax.block_until_ready(loop(A.data))
-    t0 = time.perf_counter()
-    jax.block_until_ready(loop(A.data))
-    return (time.perf_counter() - t0) * 1e3 / iters
+    l1, l2 = make(iters), make(5 * iters)
+    jax.block_until_ready(l1(A.data))
+    jax.block_until_ready(l2(A.data))
+    slopes = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(l1(A.data))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(l2(A.data))
+        t2 = time.perf_counter() - t0
+        slopes.append((t2 - t1) * 1e3 / (4 * iters))
+    return statistics.median(slopes)
 
 
 def run_case(size, density, runs, chunk_fraction, dtype, seed, algs,

@@ -62,8 +62,12 @@ def feedback_loop(call, m, n):
         def run(x0):
             def body(c, _):
                 yy = call(c)
-                return (c.at[:m].add(0.0 * yy) if n >= m
-                        else c + 0.0 * jnp.sum(yy)), ()
+                # integer-checksum feedback: every output element feeds
+                # the carry through a comparison XLA cannot fold
+                chk = lax.bitcast_convert_type(
+                    yy.astype(jnp.float32), jnp.int32).sum()
+                return c + jnp.where(chk == jnp.int32(123456789),
+                                     jnp.float32(1e-30), 0.0), ()
             cf, _ = lax.scan(body, x0, None, length=K)
             return cf
         return run
