@@ -154,23 +154,32 @@ def exp_routed(configs):
 
 def exp_plan(configs):
     """Plan-analysis cost and slack (the cuSPARSE-analysis-phase
-    comparison: theirs is milliseconds; the edge coloring is seconds at
-    1M nnz but persistable via sparse.io.save_spmv_plan)."""
+    comparison).  With native/libspmv_planner.so present the coloring
+    runs in the C++ sequential-Koenig planner (~0.11 s at 1M nnz, r3);
+    set SPMM_TPU_NO_NATIVE_PLANNER=1 to time the numpy fallback
+    (~1-4 s at 1M).  Plans persist via sparse.io.save_spmv_plan."""
+    from spmm_tpu.ops.kernels import _native_planner
     from spmm_tpu.ops.kernels.spmv_routed import spmv_routed_plan
 
+    print(f"native planner available: {_native_planner.available()}",
+          flush=True)
     for (m, n, dens) in configs:
         a, _, _, _ = _case(m, n, dens)
         nnz = int(a.nnz)
+        iph, ixh, dvh = (np.asarray(a.indptr), np.asarray(a.indices),
+                         np.asarray(a.data))
         t0 = time.time()
-        plan = spmv_routed_plan(np.asarray(a.indptr),
-                                np.asarray(a.indices),
-                                np.asarray(a.data), m, n)
+        plan = spmv_routed_plan(iph, ixh, dvh, m, n)
         dt = time.time() - t0
         if plan is None:
             print(f"{m}x{n} rho={dens} nnz={nnz}: rejected ({dt:.2f}s)",
                   flush=True)
             continue
-        print(f"{m}x{n} rho={dens} nnz={nnz}: plan {dt:.2f}s "
+        t0 = time.time()
+        spmv_routed_plan(iph, ixh, dvh, m, n)
+        dt_warm = time.time() - t0
+        print(f"{m}x{n} rho={dens} nnz={nnz}: plan {dt:.2f}s cold / "
+              f"{dt_warm:.2f}s warm "
               f"slots/nnz={plan.NL*128/nnz:.2f} nseg={plan.nseg} "
               f"R={plan.R} C={plan.C}", flush=True)
 
