@@ -11,14 +11,24 @@ Measurement: device throughput of the serving-path pipeline
 (`_alg1_fixed`: compute + extraction fused into one XLA program, output
 capacity sized once up front — the preallocated-buffer reuse pattern of
 cuSPARSE callers).  K iterations run inside ONE device program via
-`lax.scan`, each iteration data-dependent on the previous (a zero-scaled
-feedback term) so XLA cannot CSE or hoist the work; wall time / K is the
-per-multiply device time.  This removes the dev tunnel's multi-ms
-per-dispatch latency, which is an artifact of the remote relay, not of the
-hardware (a locally attached host dispatches in ~10 µs).
+`lax.scan`; each iteration feeds the NEXT through an integer checksum of
+every output array (a bitcast+xor+sum compared against a constant), a
+data dependence XLA's algebraic simplifier provably cannot fold away —
+the superseded round-2 `0.0 * slice(out)` feedback was foldable and
+under-reported by ~2%.  Per-multiply time is the TWO-K SLOPE between a
+K=100 and a K=500 loop of the same program, which cancels the relay's
+fluctuating per-call dispatch overhead exactly (see `measure()` below).
+That overhead is an artifact of the remote tunnel, not the hardware
+(a locally attached host dispatches in ~10 µs).
+
+Alongside the headline the JSON line carries the most recent full
+alg-comparison grid (time + XLA-measured peak memory per cell) from
+`benchmarks/grid_latest.json`, recorded in-round by
+`benchmarks/alg_comparison.py` under the same slope protocol.
 """
 
 import json
+import os
 import statistics
 import sys
 import time
@@ -112,14 +122,24 @@ def main():
     # plans and all structure work recomputed every call (the honest
     # per-call figure VERDICT r2 weak-6 asked to carry alongside)
     med_full = measure((None, None))
-    print(json.dumps({
+    out = {
         "metric": "spgemm_csr_n1024_d0.1_median_ms",
         "value": round(med, 4),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / med, 3),
         "full_pipeline_ms": round(med_full, 4),
         "full_pipeline_vs_baseline": round(BASELINE_MS / med_full, 3),
-    }))
+    }
+    # attach the committed in-round alg-comparison grid (measured by
+    # benchmarks/alg_comparison.py on real hardware under the same slope
+    # protocol) so BENCH_rN carries the full trade-off, not just the
+    # headline cell
+    grid_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "grid_latest.json")
+    if os.path.exists(grid_path):
+        with open(grid_path) as f:
+            out["grid"] = json.load(f)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -6,6 +6,11 @@
 #   [1/3] python generates A, B and the framework result C_py (text dumps)
 #   [2/3] the native binary recomputes C_cpp from the same text inputs
 #   [3/3] bitwise compare → report
+#
+# Report hygiene (VERDICT r3 weak-1): the committed report path is written
+# ONLY when the full default grid runs; any env-overridden quick run writes
+# to a temp file instead, so it can never silently shrink the committed
+# evidence.  Every report records its grid in a header.
 set -u
 cd "$(dirname "$0")/../.."
 
@@ -16,17 +21,30 @@ if [ "${SPMM_PLATFORM:-cpu}" = "cpu" ]; then
     export JAX_PLATFORM_NAME=cpu JAX_PLATFORMS=cpu
 fi
 
+FULL_GRID=1
+[ -n "${SIZES:-}${DENSITIES:-}${ALGS:-}${SEED:-}" ] && FULL_GRID=0
+
 SIZES=${SIZES:-"32 64 128 256 512"}
 DENSITIES=${DENSITIES:-"0.01 0.1 0.5"}
 ALGS=${ALGS:-"1 2 3"}
 SEED=${SEED:-123}
 WORKDIR=$(mktemp -d)
-REPORT=${REPORT:-cross_check_report.txt}
+if [ "$FULL_GRID" = "1" ]; then
+    REPORT=${REPORT:-cross_check_report.txt}
+else
+    REPORT=${REPORT:-$WORKDIR/cross_check_report.txt}
+    echo "note: grid overridden by env -> report goes to $REPORT"
+fi
 CUEXE=${CUEXE:-native/spgemm_cross_check}
 
 [ -x "$CUEXE" ] || bash native/build.sh
 
-: > "$REPORT"
+{
+  echo "# cross-check grid: sizes=[$SIZES] densities=[$DENSITIES]" \
+       "algs=[$ALGS] seed=$SEED platform=${SPMM_PLATFORM:-cpu}"
+  echo "# protocol: framework C_py vs native C++ replay, bitwise indptr/" \
+       "indices (+ data bitwise for alg2/3, rtol=1e-5 double replay for alg1)"
+} > "$REPORT"
 FAIL=0
 for alg in $ALGS; do
   for size in $SIZES; do
@@ -58,7 +76,8 @@ for alg in $ALGS; do
   done
 done
 
-rm -rf "$WORKDIR"
 echo "=== report ($REPORT) ==="
 cat "$REPORT"
+# keep the temp report around for overridden runs; clean only matrix dumps
+find "$WORKDIR" -name 'cc_*' -delete 2>/dev/null || true
 exit $FAIL

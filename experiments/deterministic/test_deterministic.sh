@@ -5,6 +5,11 @@
 # for each algorithm and each seed, run the generator TWICE in separate OS
 # processes (fresh runtime each time) and diff the full CSR text dumps for
 # bitwise equality.
+#
+# Report hygiene (VERDICT r3 weak-1/5): the committed determinism_report.txt
+# is written ONLY when the full default grid runs (reference grid: sizes
+# 32..1024 x densities 0.01/0.1/0.3/0.5, 10 seeds); env-overridden quick
+# runs write to a temp file.  The report records its grid in a header.
 set -u
 cd "$(dirname "$0")/../.."
 
@@ -15,12 +20,28 @@ if [ "${SPMM_PLATFORM:-cpu}" = "cpu" ]; then
     export JAX_PLATFORM_NAME=cpu JAX_PLATFORMS=cpu
 fi
 
+FULL_GRID=1
+[ -n "${SEEDS:-}${SIZES:-}${DENSITIES:-}${ALGS:-}" ] && FULL_GRID=0
+
 SEEDS=${SEEDS:-"1 2 3 4 5 6 7 8 9 10"}
-SIZES=${SIZES:-"32 64 128 256"}
+SIZES=${SIZES:-"32 64 128 256 512 1024"}
 DENSITIES=${DENSITIES:-"0.01 0.1 0.3 0.5"}
 ALGS=${ALGS:-"1 2 3"}
 OUTDIR=$(mktemp -d)
+if [ "$FULL_GRID" = "1" ]; then
+    REPORT=${REPORT:-experiments/deterministic/determinism_report.txt}
+else
+    REPORT=${REPORT:-$OUTDIR/determinism_report.txt}
+    echo "note: grid overridden by env -> report goes to $REPORT"
+fi
 FAIL=0
+
+{
+  echo "# determinism grid: sizes=[$SIZES] densities=[$DENSITIES]" \
+       "algs=[$ALGS] seeds=[$SEEDS] platform=${SPMM_PLATFORM:-cpu}"
+  echo "# protocol: each alg x seed generated twice in separate OS" \
+       "processes over the full size x density grid; CSR text dumps diffed"
+} > "$REPORT"
 
 run_test() {
     local alg=$1 seed=$2
@@ -31,9 +52,9 @@ run_test() {
     python experiments/deterministic/run_alg.py --alg "$alg" --seed "$seed" \
         --sizes $SIZES --densities $DENSITIES --out "$f2" >/dev/null || return 1
     if diff -q "$f1" "$f2" >/dev/null; then
-        echo "alg$alg seed=$seed: deterministic"
+        echo "alg$alg seed=$seed: deterministic" | tee -a "$REPORT"
     else
-        echo "alg$alg seed=$seed: NOT deterministic"
+        echo "alg$alg seed=$seed: NOT deterministic" | tee -a "$REPORT"
         return 1
     fi
 }
@@ -44,10 +65,11 @@ for alg in $ALGS; do
     done
 done
 
-rm -rf "$OUTDIR"
 if [ "$FAIL" -eq 0 ]; then
-    echo "ALL DETERMINISTIC"
+    echo "ALL DETERMINISTIC" | tee -a "$REPORT"
 else
-    echo "DETERMINISM FAILURES DETECTED"
-    exit 1
+    echo "DETERMINISM FAILURES DETECTED" | tee -a "$REPORT"
 fi
+echo "report: $REPORT"
+rm -f "$OUTDIR"/alg*_run*.txt; rmdir "$OUTDIR" 2>/dev/null || true
+exit $FAIL

@@ -121,8 +121,12 @@ int64_t spmm_color_edges(int64_t nnz, const int32_t *left,
     const int32_t l = left[e], r = right[e];
     if (l < 0 || l >= NV || r < 0 || r >= NV) return -4;
     const int64_t nw = woff[l + 1] - woff[l];
-    if (nw != woff[r + 1] - woff[r]) return -5;  // budget mismatch
     const int cap = capV[l];
+    // exact-cap equality (not just equal word count): a Kempe swap may
+    // otherwise assign a color >= the smaller endpoint's budget, and
+    // cap==0 would SIGFPE on the modulo below.
+    if (cap != capV[r]) return -5;
+    if (cap <= 0) return -2;
     const int start = int((uint64_t(e) * 2654435761u) % uint64_t(cap));
     int c = find_common_from(freeL.data() + woff[l],
                              freeR.data() + woff[r], nw, start);

@@ -20,6 +20,7 @@ import ctypes
 import os
 import subprocess
 import tempfile
+import warnings
 from typing import Optional
 
 import numpy as np
@@ -29,29 +30,59 @@ _NATIVE_DIR = os.path.join(
         os.path.dirname(os.path.abspath(__file__))))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libspmv_planner.so")
 _SRC_PATH = os.path.join(_NATIVE_DIR, "spmv_planner.cpp")
+_CACHE_LIB_PATH = os.path.join(
+    os.environ.get("XDG_CACHE_HOME",
+                   os.path.join(os.path.expanduser("~"), ".cache")),
+    "spmm_tpu", "libspmv_planner.so")
 
 _lib = None
 _tried = False
 
 
-def _build() -> bool:
-    if not os.path.exists(_SRC_PATH):
-        return False
+def _warn_degraded(reason: str) -> None:
+    """One-time diagnostic when plan analysis falls back to numpy (10-40x
+    slower at 1M+ nnz) — silent degradation is hard to debug (ADVICE r3)."""
+    warnings.warn(
+        f"spmm_tpu: native spmv planner unavailable ({reason}); plan "
+        f"analysis falls back to the slower numpy path. Build it with "
+        f"native/build.sh, or set SPMM_TPU_NO_NATIVE_PLANNER=1 to silence.",
+        RuntimeWarning, stacklevel=3)
+
+
+def _build_into(lib_path: str) -> bool:
+    """Compile the planner into lib_path's directory via atomic rename
+    (concurrent processes race benignly)."""
+    tmp = None
     try:
-        fd, tmp = tempfile.mkstemp(suffix=".so", dir=_NATIVE_DIR)
+        os.makedirs(os.path.dirname(lib_path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(suffix=".so",
+                                   dir=os.path.dirname(lib_path))
         os.close(fd)
         subprocess.run(
             ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
              "-o", tmp, _SRC_PATH],
             check=True, capture_output=True, timeout=120)
-        os.replace(tmp, _LIB_PATH)
+        os.replace(tmp, lib_path)
         return True
     except Exception:
-        try:
-            os.unlink(tmp)
-        except Exception:
-            pass
+        if tmp is not None:
+            try:
+                os.unlink(tmp)
+            except Exception:
+                pass
         return False
+
+
+def _build() -> Optional[str]:
+    """Build lazily: prefer the package's native/ dir, fall back to the
+    user cache dir on read-only installs. Returns the built path or None."""
+    if not os.path.exists(_SRC_PATH):
+        return None
+    if _build_into(_LIB_PATH):
+        return _LIB_PATH
+    if _build_into(_CACHE_LIB_PATH):
+        return _CACHE_LIB_PATH
+    return None
 
 
 def _load():
@@ -61,10 +92,13 @@ def _load():
     _tried = True
     if os.environ.get("SPMM_TPU_NO_NATIVE_PLANNER"):
         return None
-    if not os.path.exists(_LIB_PATH) and not _build():
+    lib_path = next((p for p in (_LIB_PATH, _CACHE_LIB_PATH)
+                     if os.path.exists(p)), None) or _build()
+    if lib_path is None:
+        _warn_degraded("build failed or source missing")
         return None
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = ctypes.CDLL(lib_path)
         fn = lib.spmm_color_edges
         fn.restype = ctypes.c_int64
         fn.argtypes = [
@@ -84,7 +118,8 @@ def _load():
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ]
         _lib = lib
-    except Exception:
+    except Exception as exc:
+        _warn_degraded(f"load failed: {exc}")
         _lib = None
     return _lib
 

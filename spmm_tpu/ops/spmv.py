@@ -81,7 +81,16 @@ def spmv_plan(a, effort: str = "auto"):
     the native planner (8M without), "max" always, "fast" never (the
     per-call eager path uses "fast" — its binned analysis is
     milliseconds).  Returns an opaque tagged plan for
-    `spmv(..., plan=...)`."""
+    `spmv(..., plan=...)`.
+
+    Cross-environment caveat: the native and numpy planners produce
+    DIFFERENT (both valid) lane assignments, hence different fixed f32
+    summation trees — the same matrix yields bitwise-different (still
+    correct, ~1 ulp apart) y depending on planner availability.  Each
+    plan is bitwise-deterministic given the planner that built it, and
+    persisting via `sparse.io.save_spmv_plan` freezes the assignment.
+    For environment-independent bitwise comparisons, either ship the
+    saved plan or pin `SPMM_TPU_NO_NATIVE_PLANNER=1` on every host."""
     from spmm_tpu.ops.kernels.spmv_binned import spmv_binned_plan
 
     if jax.default_backend() != "tpu" or a.dtype != jnp.float32:

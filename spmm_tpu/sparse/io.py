@@ -74,6 +74,15 @@ def csrs_txt_equal(prefix_a: str, prefix_b: str) -> bool:
     )
 
 
+# Persisted-plan format version.  Bump whenever a plan's on-disk encoding
+# changes meaning (the arrays would load cleanly but decode wrong):
+#   v1: original routed seg words (g1<<5 | bnd)
+#   v2: round-3 routed seg words (g1<<18 | g2<<5 | bnd), routed value
+#       layout, int8/int16 hi tables.  A v1 plan decoded by the v2 kernel
+#       silently accumulates all prefix segments into row group 0.
+SPMV_PLAN_FORMAT_VERSION = 2
+
+
 def save_spmv_plan(path: str, plan) -> None:
     """Persist a tagged `spmv_plan` result (the routed plan's
     edge-coloring analysis costs seconds at 1M nnz — serving setups
@@ -87,6 +96,7 @@ def save_spmv_plan(path: str, plan) -> None:
     tensors = {k: v for k, v in arrays.items()
                if isinstance(v, np.ndarray)}
     np.savez(path, plan_tag=tag, plan_cls=type(p).__name__,
+             plan_format_version=np.int64(SPMV_PLAN_FORMAT_VERSION),
              scalar_names=np.array(sorted(scalars)),
              scalar_vals=np.array([scalars[k] for k in sorted(scalars)],
                                   np.int64),
@@ -94,13 +104,26 @@ def save_spmv_plan(path: str, plan) -> None:
 
 
 def load_spmv_plan(path: str):
-    """Inverse of `save_spmv_plan`; returns the tagged plan tuple."""
+    """Inverse of `save_spmv_plan`; returns the tagged plan tuple.
+
+    Raises ValueError on a plan saved under a different format version —
+    the kernels decode packed words positionally, so a stale plan would
+    produce wrong results silently; callers should re-run `spmv_plan`.
+    """
     import jax.numpy as jnp
 
     from spmm_tpu.ops.kernels.spmv_binned import SpmvBinnedPlan
     from spmm_tpu.ops.kernels.spmv_routed import SpmvRoutedPlan
 
     with np.load(path) as f:
+        ver = int(f["plan_format_version"]) if "plan_format_version" in f \
+            else 1
+        if ver != SPMV_PLAN_FORMAT_VERSION:
+            raise ValueError(
+                f"spmv plan at {path!r} has format version {ver}, this "
+                f"build expects {SPMV_PLAN_FORMAT_VERSION}; re-run "
+                f"spmv_plan() and re-save (packed seg/table encodings "
+                f"changed between versions)")
         tag = str(f["plan_tag"])
         cls = {"SpmvRoutedPlan": SpmvRoutedPlan,
                "SpmvBinnedPlan": SpmvBinnedPlan}[str(f["plan_cls"])]

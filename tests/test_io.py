@@ -85,3 +85,26 @@ def test_spmv_plan_roundtrip(tmp_path):
     y1 = np.asarray(spmv_routed(x, plan, interpret=True))
     y2 = np.asarray(spmv_routed(x, plan2, interpret=True))
     assert np.array_equal(y1.view(np.uint32), y2.view(np.uint32))
+
+
+def test_spmv_plan_version_rejected(tmp_path):
+    """A plan saved under a different format version must be rejected —
+    the packed seg-word encoding changed in round 3, and a stale plan
+    would decode silently wrong (ADVICE r3 medium)."""
+    from spmm_tpu.ops.kernels.spmv_routed import spmv_routed_plan
+    from spmm_tpu.sparse.io import load_spmv_plan, save_spmv_plan
+
+    a = st.random(64, 64, 0.1, format="csr", random_state=1)
+    plan = spmv_routed_plan(np.asarray(a.indptr), np.asarray(a.indices),
+                            np.asarray(a.data), 64, 64)
+    p = str(tmp_path / "plan.npz")
+    save_spmv_plan(p, ("routed", plan))
+    # forge an old/absent version field
+    with np.load(p) as f:
+        stale = {k: f[k] for k in f.files if k != "plan_format_version"}
+    np.savez(p, **stale)
+    with pytest.raises(ValueError, match="format version"):
+        load_spmv_plan(p)
+    np.savez(p, plan_format_version=np.int64(999), **stale)
+    with pytest.raises(ValueError, match="format version"):
+        load_spmv_plan(p)
