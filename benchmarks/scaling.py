@@ -44,8 +44,12 @@ def run(n_devices, size, density, ncols):
     t_spmm = timed(lambda: pp.spmm_sharded(Ash, B, mesh))
     t_spmv_t = timed(lambda: pp.spmv_t_sharded(
         Ash, pp.spmv_sharded(Ash, x, mesh), mesh))
+    # x-streaming ring (O(n/D) x footprint; plan built once per structure)
+    plan = pp.spmv_stream_plan(Ash, mesh)
+    xs = pp.shard_vector(x, mesh)
+    t_spmv_stream = timed(lambda: pp.spmv_sharded_streamed(plan, xs, mesh))
     return {"spmv": t_spmv, "spmm": t_spmm, "spmv_t(psum)": t_spmv_t,
-            "nnz": A.nnz}
+            "spmv_stream": t_spmv_stream, "nnz": A.nnz}
 
 
 def main():
@@ -64,7 +68,7 @@ def main():
         r = run(nd, args.size, args.density, args.ncols)
         if base is None:
             base = r
-        for op in ("spmv", "spmm", "spmv_t(psum)"):
+        for op in ("spmv", "spmm", "spmv_t(psum)", "spmv_stream"):
             speedup = base[op] / r[op]
             eff = speedup / nd * 100
             print(f"D={nd} {op:<13s} {r[op]:9.3f} ms  "

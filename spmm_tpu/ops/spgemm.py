@@ -44,6 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spmm_tpu.ops import _primitives as prim
+from spmm_tpu.utils import memtrace
 
 INDEX_DTYPE = prim.INDEX_DTYPE
 
@@ -133,7 +134,7 @@ def densify_split_plan(a, nways: int = 4):
 
 
 @functools.partial(
-    jax.jit,
+    memtrace.jit,
     static_argnames=("m", "k", "n", "precision", "splits", "safe",
                      "oh_plans"))
 def _alg1_dense_compute(a_indptr, a_indices, a_data,
@@ -195,7 +196,7 @@ def _alg1_dense_compute(a_indptr, a_indices, a_data,
     return alpha * c, mask, nnz
 
 
-@jax.jit
+@memtrace.jit
 def _tiny_collision(a_data, b_data):
     """True if either operand stores a value equal to the +TINY marker
     (float32 smallest normal) — in that case the marked-densify trick
@@ -205,7 +206,7 @@ def _tiny_collision(a_data, b_data):
     return jnp.any(a_data == tiny_a) | jnp.any(b_data == tiny_b)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "n"))
+@functools.partial(memtrace.jit, static_argnames=("m", "n"))
 def _extract_full(c, mask, m: int, n: int):
     """Extraction when the output is completely dense (no holes)."""
     indptr = (jnp.arange(m + 1, dtype=INDEX_DTYPE)
@@ -214,7 +215,7 @@ def _extract_full(c, mask, m: int, n: int):
     return indptr, col, c.ravel()
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "g_pad", "m", "n"))
+@functools.partial(memtrace.jit, static_argnames=("cap", "g_pad", "m", "n"))
 def _extract_shift(c, mask, cap: int, g_pad: int, m: int, n: int):
     """Near-dense extraction by shifted selects — no sort/gather/scatter.
 
@@ -250,7 +251,7 @@ def _extract_shift(c, mask, cap: int, g_pad: int, m: int, n: int):
     return indptr, col, out
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "m", "n"))
+@functools.partial(memtrace.jit, static_argnames=("cap", "m", "n"))
 def _extract_sort(c, mask, cap: int, m: int, n: int):
     """General extraction: stable-sort compaction (kept elements first, in
     row-major order)."""
@@ -334,7 +335,7 @@ def _spgemm_alg1(a, b, alpha, precision: str = "highest"):
 # ===========================================================================
 
 
-@jax.jit
+@memtrace.jit
 def _work_estimation(a_indices, b_indptr):
     """Per-A-entry product counts and their inclusive prefix (symbolic phase).
 
@@ -345,7 +346,7 @@ def _work_estimation(a_indices, b_indptr):
     return counts, ends
 
 
-@functools.partial(jax.jit, static_argnames=("P",))
+@functools.partial(memtrace.jit, static_argnames=("P",))
 def _expand(a_rows, a_indices, a_data, b_indptr, b_indices, b_data,
             counts, ends, P: int):
     """Materialise all P partial products as (row, col, val) triplets.
@@ -400,7 +401,7 @@ def _expand(a_rows, a_indices, a_data, b_indptr, b_indices, b_data,
     return row, col, val
 
 
-@functools.partial(jax.jit, static_argnames=("P", "k"))
+@functools.partial(memtrace.jit, static_argnames=("P", "k"))
 def _expand_joined(a_rows, a_indices, a_data, b_indptr, b_indices, b_data,
                    counts, ends, P: int, k: int):
     """Gather-free expansion: all P partial products with ZERO P-sized
@@ -465,7 +466,7 @@ def _expand_joined(a_rows, a_indices, a_data, b_indptr, b_indices, b_data,
     return row_s, col_s, a_val * b_val
 
 
-@jax.jit
+@memtrace.jit
 def _compress_count(row_s, col_s):
     return prim.count_unique_sorted(row_s, col_s)
 
@@ -473,7 +474,7 @@ def _compress_count(row_s, col_s):
 _compact_positions = prim.compact_positions
 
 
-@functools.partial(jax.jit, static_argnames=("nnz_c", "m"))
+@functools.partial(memtrace.jit, static_argnames=("nnz_c", "m"))
 def _compress(row_s, col_s, val_s, alpha, nnz_c: int, m: int):
     """Sum duplicate (row, col) runs with the fixed doubling tree."""
     P = row_s.shape[0]
@@ -491,7 +492,7 @@ def _compress(row_s, col_s, val_s, alpha, nnz_c: int, m: int):
     return indptr, out_col, out_val
 
 
-@functools.partial(jax.jit, static_argnames=("P", "m", "n", "k", "joined"))
+@functools.partial(memtrace.jit, static_argnames=("P", "m", "n", "k", "joined"))
 def _esc_expand_sort_count(a_rows, a_indices, a_data,
                            b_indptr, b_indices, b_data,
                            counts, ends, P: int, m: int, n: int,
@@ -541,7 +542,7 @@ def _spgemm_alg2_esc(a, b, alpha, joined: bool = False):
 # ===========================================================================
 
 
-@functools.partial(jax.jit, static_argnames=("E", "W", "m", "n"))
+@functools.partial(memtrace.jit, static_argnames=("E", "W", "m", "n"))
 def _chunk_esc(a_indptr_full, a_indices, a_data, a_rows,
                b_indptr, b_indices, b_data,
                r0, e0, e1, E: int, W: int, m: int, n: int):
@@ -602,7 +603,7 @@ def _chunk_esc(a_indptr_full, a_indices, a_data, a_rows,
     return row_s, col_s, val_s, new_group, valid_s, nnz_chunk
 
 
-@functools.partial(jax.jit, static_argnames=("nnz_c",))
+@functools.partial(memtrace.jit, static_argnames=("nnz_c",))
 def _chunk_extract(row_s, col_s, val_s, new_group, valid_s, alpha,
                    nnz_c: int):
     scanned = prim.segsum_tree(val_s, new_group)
@@ -617,7 +618,7 @@ def _chunk_extract(row_s, col_s, val_s, new_group, valid_s, alpha,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("E", "W", "m", "n", "nchunks"))
+    memtrace.jit, static_argnames=("E", "W", "m", "n", "nchunks"))
 def _alg3_esc_count(a_indptr, a_indices, a_data, a_rows,
                     b_indptr, b_indices, b_data, r0s, e0s, e1s,
                     E: int, W: int, m: int, n: int, nchunks: int):
@@ -637,7 +638,7 @@ def _alg3_esc_count(a_indptr, a_indices, a_data, a_rows,
 
 
 @functools.partial(
-    jax.jit,
+    memtrace.jit,
     static_argnames=("E", "W", "m", "n", "nchunks", "cap", "total"))
 def _alg3_esc_compute(a_indptr, a_indices, a_data, a_rows,
                       b_indptr, b_indices, b_data, r0s, e0s, e1s,
@@ -820,7 +821,7 @@ def spgemm(a, b, alpha=1.0, alg: int = 0, chunk_fraction: float = 0.2,
 
 
 @functools.partial(
-    jax.jit,
+    memtrace.jit,
     static_argnames=("m", "k", "n", "cap", "precision", "exact_cap",
                      "splits", "safe", "oh_plans"))
 def _alg1_fixed(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,

@@ -49,6 +49,7 @@ import numpy as np
 from jax import lax
 
 from spmm_tpu.ops import _primitives as prim
+from spmm_tpu.utils import memtrace
 
 INDEX_DTYPE = prim.INDEX_DTYPE
 TILE = 128
@@ -123,7 +124,7 @@ def _onehot_plans_padded(a_indptr_h, b_indptr_h, m_pad: int, k: int,
 # ===========================================================================
 
 
-@functools.partial(jax.jit,
+@functools.partial(memtrace.jit,
                    static_argnames=("m_pad", "k", "n", "T", "oh_plans"))
 def _alg2_count(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
                 m_pad: int, k: int, n: int, T: int,
@@ -148,7 +149,7 @@ def _alg2_count(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
 
 
 @functools.partial(
-    jax.jit,
+    memtrace.jit,
     static_argnames=("m", "m_pad", "k", "n", "T", "cap_tile", "nnz",
                      "precision", "oh_plans"))
 def _alg2_compute(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
@@ -253,7 +254,7 @@ _FAST_COUNT_BUDGET = int(1e9)
 
 
 @functools.partial(
-    jax.jit,
+    memtrace.jit,
     static_argnames=("m_pad", "k", "n", "n_pad", "n_b", "T", "P",
                      "oh_plans"))
 def _alg3_count_fast(a_indptr, a_indices, a_data, b_indptr, b_indices,
@@ -285,7 +286,7 @@ def _alg3_count_fast(a_indptr, a_indices, a_data, b_indptr, b_indices,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("m_pad", "k", "n_b", "T", "P", "Ea", "Eb"))
+    memtrace.jit, static_argnames=("m_pad", "k", "n_b", "T", "P", "Ea", "Eb"))
 def _alg3_count(a_off, a_end, a_colv, b_off, b_end, b_rowv, b_colv,
                 m_pad: int, k: int, n_b: int, T: int, P: int,
                 Ea: int, Eb: int):
@@ -330,7 +331,7 @@ def _alg3_count(a_off, a_end, a_colv, b_off, b_end, b_rowv, b_colv,
 
 
 @functools.partial(
-    jax.jit,
+    memtrace.jit,
     static_argnames=("m", "m_pad", "k", "n", "n_b", "T", "P", "Ea", "Eb",
                      "cap_blk", "cap_tile", "nnz", "precision", "safe"))
 def _alg3_compute(a_off, a_end, a_colv, a_val, b_off, b_end, b_rowv,
@@ -492,7 +493,7 @@ def _tile_onehot_plan(indptr_local_h, rows: int, cols: int, dtype,
 
 
 @functools.partial(
-    jax.jit,
+    memtrace.jit,
     static_argnames=("m", "k", "n", "n_b", "T", "P", "cap_blk", "cap_tile",
                      "nnz", "precision", "tiles_meta", "panels_meta",
                      "interpret"))

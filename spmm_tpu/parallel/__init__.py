@@ -9,10 +9,15 @@ from spmm_tpu.parallel.mesh import (  # noqa: F401
 )
 from spmm_tpu.parallel.sharded import (  # noqa: F401
     ShardedCSR,
+    SpmvStreamPlan,
     shard_csr,
+    shard_vector,
     spgemm_dense_sharded,
     spmm_sharded,
     spmv_sharded,
+    spmv_sharded_blocked,
+    spmv_sharded_streamed,
+    spmv_stream_plan,
     spmv_t_sharded,
     unshard_rows,
 )

@@ -73,6 +73,24 @@ def spgemm_sharded_peak_bytes(m: int, k: int, n: int, nnz_a: int,
     return a_panel + b_term + c_panel + inputs
 
 
+def spmv_sharded_peak_bytes(m: int, n: int, nnz: int, D: int,
+                            stream_x: bool = True) -> int:
+    """Per-device peak for distributed SpMV (`parallel.sharded`).
+
+    stream_x=True (`spmv_sharded_streamed`): x lives as ONE (n/D) block
+    per device (plus one in flight on the ring) — O(n/D); the entry
+    tables are the per-shard nnz padded per (device, block).
+    stream_x=False (`spmv_sharded`): the full x is replicated on every
+    device — the O(n) term VERDICT r3 missing-2 flags.
+    """
+    nb = -(-n // D)
+    r_local = -(-m // D)
+    entries = 12 * (-(-nnz // D))        # rows+cols int32 + f32 data
+    ybuf = 4 * (D * r_local + r_local)   # per-block partials + fold acc
+    x_term = 2 * 4 * nb if stream_x else 4 * n
+    return entries + ybuf + x_term
+
+
 def spgemm_peak_estimate(a, b, alg: int = 1,
                          chunk_fraction: float = 0.2) -> Dict[str, float]:
     """Peak-HBM estimate for `spgemm(a, b, alg)` without running it."""
