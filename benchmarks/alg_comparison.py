@@ -72,8 +72,23 @@ def _device_loop_ms(A, B, size, iters=100):
     return statistics.median(slopes)
 
 
+def measure_memory(A, B, alg, chunk_fraction):
+    """Peak HBM per algorithm from XLA's buffer assignment
+    (`utils.memtrace`), with the analytic model's prediction alongside —
+    the TPU re-build of the reference's ΔPeak-VRAM sampler
+    (SpGEMM_alg_comparison/profiler.py:82-133), exact instead of
+    sampled."""
+    from spmm_tpu.utils import memory_model, memtrace
+
+    r = memtrace.op_memory_analysis(st.spgemm, A, B, alg=alg,
+                                    chunk_fraction=chunk_fraction)
+    est = memory_model.spgemm_peak_estimate(A, B, alg=alg,
+                                            chunk_fraction=chunk_fraction)
+    return r, est
+
+
 def run_case(size, density, runs, chunk_fraction, dtype, seed, algs,
-             device_loop=False):
+             device_loop=False, memory=False):
     m = k = n = size
     A = st.random(m, k, density, format="csr", dtype=dtype,
                   random_state=seed)
@@ -92,8 +107,18 @@ def run_case(size, density, runs, chunk_fraction, dtype, seed, algs,
                                op, runs=runs, warmup=3)
         if r is None:
             continue
-        results[alg] = r
+        results[alg] = {"time": r}
         print(r.row())
+        if memory:
+            ma, est = measure_memory(A, B, alg, chunk_fraction)
+            if ma["peak_bytes"] is not None:
+                dev = (est["peak_bytes"] - ma["peak_bytes"]) \
+                    / ma["peak_bytes"] * 100
+                print(f"    peak HBM (XLA buffer assignment): "
+                      f"{ma['peak_mb']:.1f} MB  "
+                      f"(model {est['peak_mb']:.1f} MB, {dev:+.0f}%)")
+                results[alg]["memory"] = ma
+                results[alg]["model"] = est
     return results
 
 
@@ -108,6 +133,10 @@ def main(argv=None):
     p.add_argument("--algs", type=int, nargs="+", default=[1, 2, 3])
     p.add_argument("--device-loop", action="store_true",
                    help="also report alg1 device-loop throughput")
+    p.add_argument("--memory", action="store_true",
+                   help="also record per-alg peak HBM from XLA's buffer "
+                        "assignment (the ΔPeak-VRAM column of the "
+                        "reference's flagship figure)")
     p.add_argument("--json", action="store_true", help="emit one JSON line per case")
     args = p.parse_args(argv)
     dtype = jnp.dtype(args.dtype)
@@ -115,15 +144,20 @@ def main(argv=None):
         print(f"=== SpGEMM alg comparison: n={size} density={density} "
               f"runs={args.runs} ===")
         res = run_case(size, density, args.runs, args.chunk_fraction, dtype,
-                       args.seed, args.algs, device_loop=args.device_loop)
+                       args.seed, args.algs, device_loop=args.device_loop,
+                       memory=args.memory)
         if args.json:
             for alg, r in res.items():
-                print(json.dumps({
+                row = {
                     "bench": "alg_comparison", "size": size,
                     "density": density, "alg": alg,
-                    "median_ms": r.median_ms,
-                    "delta_hbm_bytes": r.delta_hbm_bytes,
-                }))
+                    "median_ms": r["time"].median_ms,
+                    "delta_hbm_bytes": r["time"].delta_hbm_bytes,
+                }
+                if "memory" in r:
+                    row["peak_hbm_bytes"] = r["memory"]["peak_bytes"]
+                    row["model_peak_bytes"] = r["model"]["peak_bytes"]
+                print(json.dumps(row))
         profiler.cleanup_device()
 
 

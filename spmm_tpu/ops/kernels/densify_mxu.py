@@ -23,6 +23,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from spmm_tpu.utils import memtrace
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -75,7 +77,7 @@ def _kernel(starts_ref, rows_ref, cols_ref, vals_ref, out_ref,
     lax.fori_loop(0, max_chunks + 1, chunk_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "k", "interpret"))
+@functools.partial(memtrace.jit, static_argnames=("m", "k", "interpret"))
 def csr_densify_mxu(indptr, indices, data, m: int, k: int,
                     interpret: bool = False):
     """Dense (m, k) from canonical CSR via one-hot MXU placement."""

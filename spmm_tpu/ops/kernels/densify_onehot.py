@@ -50,6 +50,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 import numpy as np
 
+from spmm_tpu.utils import memtrace
+
 INDEX_DTYPE = jnp.int32
 
 # entries per sub-chunk / sub-chunks per grid step.  Cost per entry is
@@ -159,7 +161,7 @@ def _pack_lanes(x, nsteps: int, U: int, CH: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("m", "k", "plan", "interpret"))
+    memtrace.jit, static_argnames=("m", "k", "plan", "interpret"))
 def densify_onehot(indptr, indices, data, m: int, k: int, plan,
                    interpret: bool = False):
     """Dense (m, k) f32 values + (m, k) bf16 structural 0/1 pattern from a

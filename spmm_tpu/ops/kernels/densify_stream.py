@@ -19,6 +19,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from spmm_tpu.utils import memtrace
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -64,7 +66,7 @@ def _kernel(rows_ref, cols_ref, vals_ref, out_ref, *, kb: int):
     out_ref[cur_f] = acc_f
 
 
-@functools.partial(jax.jit, static_argnames=("m", "k", "interpret"))
+@functools.partial(memtrace.jit, static_argnames=("m", "k", "interpret"))
 def densify_stream(rows, cols, vals, m: int, k: int,
                    interpret: bool = False):
     """Dense (m, k) from sorted COO entry arrays (canonical order)."""

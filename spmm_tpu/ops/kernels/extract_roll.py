@@ -35,6 +35,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from spmm_tpu.utils import memtrace
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -116,7 +118,7 @@ def _kernel(j0s_ref, njs_ref, c0_ref, c1_ref, h0_ref, h1_ref,
     jm_ref[...] = jm
 
 
-@functools.partial(jax.jit,
+@functools.partial(memtrace.jit,
                    static_argnames=("cap", "g_pad", "m", "n", "interpret"))
 def extract_roll(c, mask, cap: int, g_pad: int, m: int, n: int,
                  interpret: bool = False):

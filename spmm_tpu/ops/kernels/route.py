@@ -45,6 +45,8 @@ from typing import NamedTuple, Optional
 
 import numpy as np
 
+from spmm_tpu.utils import memtrace
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -239,7 +241,7 @@ def _expand_kernel(rows0_ref, vals_ref, pkA_ref, pkB_ref, dv_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("m", "k", "B", "S_SRC", "U", "NBLK", "NV",
+    memtrace.jit, static_argnames=("m", "k", "B", "S_SRC", "U", "NBLK", "NV",
                               "emit_pattern", "interpret"))
 def _expand_call(vals, rows0, pkA, pkB, m, k, B, S_SRC, U, NBLK, NV,
                  emit_pattern=True, interpret=False):
@@ -311,7 +313,7 @@ def _compress_kernel(rows0_ref, c_ref, pkA_ref, pkB_ref, out_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("B", "S_D", "U", "NBLK", "RT_PAD", "cap",
+    memtrace.jit, static_argnames=("B", "S_D", "U", "NBLK", "RT_PAD", "cap",
                               "interpret"))
 def _compress_call(c, rows0, pkA, pkB, B, S_D, U, NBLK, RT_PAD, cap,
                    interpret=False):

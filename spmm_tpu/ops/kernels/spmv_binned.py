@@ -59,6 +59,8 @@ from typing import NamedTuple, Optional
 
 import numpy as np
 
+from spmm_tpu.utils import memtrace
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -266,7 +268,7 @@ def _reduce_kernel(r0s_ref, rows_ref, z_ref, y_ref, *, CH: int):
         y_ref[pl.ds(s, 8), :] += y8
 
 
-@functools.partial(jax.jit, static_argnames=("plan_static", "interpret"))
+@functools.partial(memtrace.jit, static_argnames=("plan_static", "interpret"))
 def _spmv_binned_call(hi_tbl, val_tbl, rows_pk, r0s, x,
                       plan_static, interpret=False):
     m, n, CH, NL, nsteps1, nsteps2, R, C = plan_static

@@ -33,6 +33,8 @@ from typing import Optional
 
 import numpy as np
 
+from spmm_tpu.utils import memtrace
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -141,7 +143,7 @@ def _pack_lanes(x, nsteps: int, U: int, CH: int):
         nsteps * CH, U)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "n", "plan", "interpret"))
+@functools.partial(memtrace.jit, static_argnames=("m", "n", "plan", "interpret"))
 def spmv_onehot(indptr, indices, data, x, m: int, n: int, plan,
                 interpret: bool = False):
     """y = A @ x for canonical CSR A (m, n), f32.  `plan` from

@@ -59,6 +59,8 @@ from typing import NamedTuple, Optional
 
 import numpy as np
 
+from spmm_tpu.utils import memtrace
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -608,7 +610,7 @@ def _fused_kernel_seg(seg_ref, hi_ref, val_ref, route_ref, xq_ref, y_ref,
         y_ref[pl.ds(s2, 8), :] += jnp.where(iota8 == (g2 & 7), c2, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("plan_static", "interpret"))
+@functools.partial(memtrace.jit, static_argnames=("plan_static", "interpret"))
 def _spmv_routed_call(hi_tbl, val_tbl, route_tbl, seg, r0s, x,
                       plan_static, interpret=False):
     m, n, NL, nsteps1, nsteps2, R, C, nseg = plan_static
@@ -715,7 +717,7 @@ def _sum_kernel_m(r0s_ref, z_ref, y_ref):
         y_ref[pl.ds(s, 8), :] += y8
 
 
-@functools.partial(jax.jit, static_argnames=("plan_static", "interpret"))
+@functools.partial(memtrace.jit, static_argnames=("plan_static", "interpret"))
 def _spmm_routed_call(hi_tbl, val_tbl, route_tbl, r0s, xb,
                       plan_static, interpret=False):
     """Y[:, :KB] = A @ xb for one KB-column block (xb: (n, KB) f32)."""
@@ -818,7 +820,7 @@ def _fused_kernel_seg_m(seg_ref, hi_ref, valr_ref, route_ref, xq_ref,
         y_ref[pl.ds(s2, 8), :] += jnp.where(iota8 == (g2 & 7), c2, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("plan_static", "interpret"))
+@functools.partial(memtrace.jit, static_argnames=("plan_static", "interpret"))
 def _spmm_routed_call_fused(hi_tbl, val_tbl, route_tbl, seg, xb,
                             plan_static, interpret=False):
     """Fused one-kernel KB-column block (requires a seg2 plan)."""

@@ -12,8 +12,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from spmm_tpu.utils import memtrace
 
-@jax.jit
+
+@memtrace.jit
 def _sddmm_gather(rows, cols, s_data, a, b):
     a_rows = a[rows, :]           # (nnz, k)
     b_cols = b[:, cols].T         # (nnz, k)

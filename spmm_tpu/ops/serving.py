@@ -39,6 +39,8 @@ from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
+from spmm_tpu.utils import memtrace
+
 import jax
 import jax.numpy as jnp
 
@@ -155,12 +157,12 @@ def _serve_body(a_vals, b_vals, alpha, pa_arr, pb_arr, pc_arr,
     return jnp.take(c.reshape(m * n), pc_arr[0])
 
 
-@functools.partial(jax.jit, static_argnames=("meta",))
+@functools.partial(memtrace.jit, static_argnames=("meta",))
 def _serve(a_vals, b_vals, alpha, pa_arr, pb_arr, pc_arr, meta: _ServeMeta):
     return _serve_body(a_vals, b_vals, alpha, pa_arr, pb_arr, pc_arr, meta)
 
 
-@functools.partial(jax.jit, static_argnames=("meta",), donate_argnums=(0,))
+@functools.partial(memtrace.jit, static_argnames=("meta",), donate_argnums=(0,))
 def _serve_acc(c_prev, a_vals, b_vals, alpha, beta,
                pa_arr, pb_arr, pc_arr, meta: _ServeMeta):
     """C_vals <- beta * C_prev + alpha * extract(A @ B), with C_prev
@@ -172,7 +174,7 @@ def _serve_acc(c_prev, a_vals, b_vals, alpha, beta,
                           meta))
 
 
-@functools.partial(jax.jit, static_argnames=("meta",))
+@functools.partial(memtrace.jit, static_argnames=("meta",))
 def _serve_batch(a_vals, b_vals, alphas, pa_arr, pb_arr, pc_arr,
                  meta: _ServeMeta):
     """K multiplies in ONE program: scan over stacked value arrays.

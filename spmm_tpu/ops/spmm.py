@@ -22,10 +22,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from spmm_tpu.utils import memtrace
+
 from spmm_tpu.ops import _primitives as prim
 
 
-@jax.jit
+@memtrace.jit
 def _csr_spmm(indptr, indices, data, b, alpha):
     nnz = data.shape[0]
     m = indptr.shape[0] - 1
@@ -36,13 +38,13 @@ def _csr_spmm(indptr, indices, data, b, alpha):
     return alpha * out
 
 
-@jax.jit
+@memtrace.jit
 def _dense_spmm(a_dense, b, alpha):
     return alpha * jnp.dot(a_dense, b, preferred_element_type=a_dense.dtype,
                            precision=jax.lax.Precision.HIGHEST)
 
 
-@jax.jit
+@memtrace.jit
 def _bsr_spmm(indptr, indices, blocks, b, alpha):
     """C = A_bsr @ B: per-block MXU matmuls accumulated per block-row."""
     nblocks, R, Cb = blocks.shape

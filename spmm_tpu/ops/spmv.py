@@ -20,9 +20,10 @@ import jax
 import jax.numpy as jnp
 
 from spmm_tpu.ops import _primitives as prim
+from spmm_tpu.utils import memtrace
 
 
-@jax.jit
+@memtrace.jit
 def _csr_spmv(indptr, indices, data, x, alpha):
     nnz = data.shape[0]
     m = indptr.shape[0] - 1
@@ -33,7 +34,7 @@ def _csr_spmv(indptr, indices, data, x, alpha):
     return alpha * y
 
 
-@functools.partial(jax.jit, static_argnames=("ncols",))
+@functools.partial(memtrace.jit, static_argnames=("ncols",))
 def _csr_spmv_t(indptr, indices, data, x, alpha, *, ncols: int):
     """y = alpha * A.T @ x via scatter-add over column indices."""
     nnz = data.shape[0]
@@ -44,7 +45,7 @@ def _csr_spmv_t(indptr, indices, data, x, alpha, *, ncols: int):
     return alpha * y
 
 
-@jax.jit
+@memtrace.jit
 def _dense_spmv(a_dense, x, alpha):
     return alpha * (a_dense @ x)
 
