@@ -153,59 +153,146 @@ def _alg2_count(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
     static_argnames=("m", "m_pad", "k", "n", "T", "cap_tile", "nnz",
                      "precision", "oh_plans"))
 def _alg2_compute(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
-                  alpha, m: int, m_pad: int, k: int, n: int, T: int,
+                  alpha, tilec, m: int, m_pad: int, k: int, n: int, T: int,
                   cap_tile: int, nnz: int, precision: str,
                   oh_plans=(None, None)):
+    """Scan-engine numeric pass (large T fallback; the unrolled engine
+    below owns T <= _ALG2_MAX_UNROLL_TILES).  Round 4: the per-tile merge
+    is FUSED into the tile scan with a running offset carry — the former
+    stacked (T, cap_tile) key/value arrays plus a second merge scan kept
+    ~2.5x the output size live (measured 136.5 MB at 2048²/0.1 vs alg1's
+    80, inverting the reference's alg1>alg2 peak hierarchy)."""
     ad, a_pat = _densify_pair(a_indptr, a_indices, a_data, m_pad, k,
                               oh_plans[0])
     bd, b_pat = _densify_pair(b_indptr, b_indices, b_data, k, n,
                               oh_plans[1])
     prec = _PREC[precision]
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), INDEX_DTYPE),
+         jnp.cumsum(tilec, dtype=INDEX_DTYPE)])
 
-    def tile_body(_, t):
+    def tile_body(bufs, t):
+        cb, vb = bufs
         at = lax.dynamic_slice(ad, (t * TILE, _ZERO), (TILE, k))
         ct = jnp.dot(at, bd, precision=prec,
                      preferred_element_type=ad.dtype)
         ap = lax.dynamic_slice(a_pat, (t * TILE, _ZERO), (TILE, k))
         counts = jnp.dot(ap, b_pat, preferred_element_type=jnp.float32)
         mask = (counts > 0).ravel()
-        nnz_t = jnp.sum(mask, dtype=INDEX_DTYPE)
         idx = jnp.arange(TILE * n, dtype=INDEX_DTYPE)
         sortkey = jnp.where(mask, idx, jnp.asarray(TILE * n, INDEX_DTYPE))
         flat_s, val_s = lax.sort((sortkey, ct.ravel()), num_keys=1,
                                  is_stable=True)
         rowc = jnp.sum(counts > 0, axis=1, dtype=INDEX_DTYPE)
-        return 0, (flat_s[:cap_tile], val_s[:cap_tile], nnz_t, rowc)
+        # ascending writes: each tile's padding garbage is overwritten by
+        # the next tile's segment (same merge semantics as before, with
+        # zero stacked intermediates)
+        cols = flat_s[:cap_tile] % jnp.asarray(n, INDEX_DTYPE)
+        cb = lax.dynamic_update_slice(cb, cols, (offs[t],))
+        vb = lax.dynamic_update_slice(vb, val_s[:cap_tile], (offs[t],))
+        return (cb, vb), rowc
 
-    _, (flat_t, val_t, nnz_ts, rowc) = lax.scan(
-        tile_body, 0, jnp.arange(T, dtype=INDEX_DTYPE))
-
-    # merge the per-tile padded segments at their exact offsets; ascending
-    # dynamic-update-slices let each tile overwrite the previous tile's
-    # padding garbage
-    offs = jnp.concatenate(
-        [jnp.zeros((1,), INDEX_DTYPE),
-         jnp.cumsum(nnz_ts, dtype=INDEX_DTYPE)])
     colbuf = jnp.zeros((nnz + cap_tile,), INDEX_DTYPE)
     valbuf = jnp.zeros((nnz + cap_tile,), a_data.dtype)
-
-    def merge(bufs, t):
-        cb, vb = bufs
-        cols = flat_t[t] % jnp.asarray(n, INDEX_DTYPE)
-        cb = lax.dynamic_update_slice(cb, cols, (offs[t],))
-        vb = lax.dynamic_update_slice(vb, val_t[t], (offs[t],))
-        return (cb, vb), ()
-
-    (colbuf, valbuf), _ = lax.scan(
-        merge, (colbuf, valbuf), jnp.arange(T, dtype=INDEX_DTYPE))
+    (colbuf, valbuf), rowc = lax.scan(
+        tile_body, (colbuf, valbuf), jnp.arange(T, dtype=INDEX_DTYPE))
     indptr = jnp.concatenate(
         [jnp.zeros((1,), INDEX_DTYPE),
          jnp.cumsum(rowc.reshape(-1)[:m], dtype=INDEX_DTYPE)])
     return indptr, colbuf[:nnz], alpha * valbuf[:nnz]
 
 
+# compile-time bound for the unrolled alg2 engine (one densify + two dots
+# + one sort per tile); covers m <= 4096 at TILE=128
+_ALG2_MAX_UNROLL_TILES = 32
+
+
+@functools.partial(
+    memtrace.jit,
+    static_argnames=("m", "k", "n", "T", "nnz", "precision", "tiles_meta",
+                     "tile_caps", "b_plan", "interpret"))
+def _alg2_compute_unrolled(a_indptr_pad, a_indices, a_data, b_indptr,
+                           b_indices, b_data, alpha, m: int, k: int,
+                           n: int, T: int, nnz: int, precision: str,
+                           tiles_meta, tile_caps, b_plan,
+                           interpret: bool = False):
+    """Unrolled alg2: A is NEVER fully dense — each 128-row tile densifies
+    under its own static Pallas plan, multiplies the resident dense B,
+    extracts its EXACT per-tile segment (static size from the count
+    readback) and writes it at a static offset.  No stacked per-tile
+    arrays, no second merge pass, no cap_tile padding slack: peak is
+    O(k·n dense B + nnz output + one tile workspace), restoring the
+    alg1 > alg2 peak ordering the reference measures (258 vs 174 MB at
+    1024²/0.1, SpGEMM_alg_comparison figure).  Outputs are bitwise-equal
+    to the scan engine (same per-tile dot/sort, same write order)."""
+    from spmm_tpu.ops.kernels.densify_onehot import densify_onehot
+    from spmm_tpu.ops.kernels.extract_roll import (extract_roll,
+                                                   extract_roll_applies)
+    from spmm_tpu.ops.spgemm import (_EXTRACT_ROLL_MAX_HOLES,
+                                     _SHIFT_EXTRACT_MAX_HOLES,
+                                     _bucket_holes, _extract_full,
+                                     _extract_shift, _extract_sort)
+
+    prec = _PREC[precision]
+    bd, b_pat = _densify_pair(b_indptr, b_indices, b_data, k, n, b_plan)
+    # preallocated outputs, filled in place at static offsets: each tile's
+    # segment dies right after its write, so peak holds ONE tile workspace
+    # (a concatenate of T segments would keep them all live plus a copy)
+    cols = jnp.zeros((nnz,), INDEX_DTYPE)
+    vals = jnp.zeros((nnz,), a_data.dtype)
+    rowc_seg = [None] * T
+    off = 0
+    for t in range(T):
+        e0, e1, plan = tiles_meta[t]
+        cap_t = min(tile_caps[t], nnz - off)
+        if e1 == e0 or cap_t == 0:
+            rowc_seg[t] = jnp.zeros((TILE,), INDEX_DTYPE)
+            continue
+        ipt = (lax.slice(a_indptr_pad, (t * TILE,),
+                         (t * TILE + TILE + 1,))
+               - jnp.asarray(e0, INDEX_DTYPE))
+        ixt = lax.slice(a_indices, (e0,), (e1,))
+        dvt = lax.slice(a_data, (e0,), (e1,))
+        if plan is not None:
+            ad, a_pat = densify_onehot(ipt, ixt, dvt, TILE, k, plan,
+                                       interpret)
+        else:
+            ad = _value_dense(ipt, ixt, dvt, TILE, k)
+            a_pat = _pattern_dense(ipt, ixt, e1 - e0, TILE, k)
+        ct = jnp.dot(ad, bd, precision=prec,
+                     preferred_element_type=a_data.dtype)
+        counts = jnp.dot(a_pat, b_pat, preferred_element_type=jnp.float32)
+        mask = counts > 0
+        # the alg1 extraction selector, per tile: per-tile hole counts
+        # g_t are exact (static from the count readback), so the
+        # sort-free shift/roll paths apply at high fill — and each pass
+        # touches one tile, T× fewer bytes than the global version
+        g = TILE * n - cap_t
+        if g == 0:
+            _, cols_t, vals_t = _extract_full(ct, mask, TILE, n)
+        elif (g <= _EXTRACT_ROLL_MAX_HOLES
+                and extract_roll_applies(cap_t, _bucket_holes(g),
+                                         ct.dtype)):
+            _, cols_t, vals_t = extract_roll(ct, mask, cap_t,
+                                             _bucket_holes(g), TILE, n)
+        elif g <= _SHIFT_EXTRACT_MAX_HOLES:
+            _, cols_t, vals_t = _extract_shift(ct, mask, cap_t,
+                                               _bucket_holes(g), TILE, n)
+        else:
+            _, cols_t, vals_t = _extract_sort(ct, mask, cap_t, TILE, n)
+        cols = lax.dynamic_update_slice(cols, cols_t, (off,))
+        vals = lax.dynamic_update_slice(vals, vals_t, (off,))
+        rowc_seg[t] = jnp.sum(mask, axis=1, dtype=INDEX_DTYPE)
+        off += cap_t
+    rowc = jnp.concatenate(rowc_seg)[:m]
+    indptr = jnp.concatenate(
+        [jnp.zeros((1,), INDEX_DTYPE),
+         jnp.cumsum(rowc, dtype=INDEX_DTYPE)])
+    return indptr, cols, alpha * vals
+
+
 def spgemm_alg2_blocked(a, b, alpha, precision: str = "highest",
-                        verbose: bool = False):
+                        verbose: bool = False, interpret: bool = False):
     """Balanced blocked SpGEMM; see module docstring."""
     from spmm_tpu.sparse.csr import CSR
 
@@ -213,10 +300,12 @@ def spgemm_alg2_blocked(a, b, alpha, precision: str = "highest",
     n = b.shape[1]
     m_pad = _round_up(max(m, 1), TILE)
     T = m_pad // TILE
-    a_indptr = a.indptr
+    a_indptr_h = np.asarray(a.indptr)
     if m_pad != m:
-        a_indptr = jnp.concatenate(
-            [a_indptr, jnp.full((m_pad - m,), a.indptr[-1], INDEX_DTYPE)])
+        a_indptr_h = np.concatenate(
+            [a_indptr_h, np.full((m_pad - m,), a_indptr_h[-1],
+                                 a_indptr_h.dtype)])
+    a_indptr = jnp.asarray(a_indptr_h, INDEX_DTYPE)
     oh_plans = _onehot_plans_padded(np.asarray(a.indptr),
                                     np.asarray(b.indptr),
                                     m_pad, k, n, a.dtype)
@@ -229,14 +318,35 @@ def spgemm_alg2_blocked(a, b, alpha, precision: str = "highest",
         from spmm_tpu.ops.spgemm import _empty_csr
 
         return _empty_csr(m, n, a.dtype)
+    if T <= _ALG2_MAX_UNROLL_TILES:
+        tiles_meta = []
+        for t in range(T):
+            e0 = int(a_indptr_h[t * TILE])
+            e1 = int(a_indptr_h[(t + 1) * TILE])
+            local = (a_indptr_h[t * TILE:(t + 1) * TILE + 1] - e0).astype(
+                np.int64)
+            plan = (_tile_onehot_plan(local, TILE, k, a.dtype, interpret)
+                    if e1 > e0 else None)
+            tiles_meta.append((e0, e1, plan))
+        b_plan = oh_plans[1]
+        if verbose:
+            print(f"[spgemm alg2/blocked] unrolled T={T} nnz={nnz} onehot="
+                  f"{sum(pl is not None for _, _, pl in tiles_meta)}a/"
+                  f"{int(b_plan is not None)}b")
+        indptr, cols, vals = _alg2_compute_unrolled(
+            a_indptr, a.indices, a.data, b.indptr, b.indices, b.data,
+            jnp.asarray(alpha, a.dtype), m, k, n, T, nnz, precision,
+            tuple(tiles_meta), tuple(int(c) for c in tilec_h), b_plan,
+            interpret)
+        return CSR.from_parts(indptr, cols, vals, (m, n), canonical=True)
     cap_tile = _round_up(int(tilec_h.max()), 8)
     if verbose:
         print(f"[spgemm alg2/blocked] T={T} cap_tile={cap_tile} nnz={nnz} "
               f"onehot={oh_plans[0] is not None}")
     indptr, cols, vals = _alg2_compute(
         a_indptr, a.indices, a.data, b.indptr, b.indices, b.data,
-        jnp.asarray(alpha, a.dtype), m, m_pad, k, n, T, cap_tile, nnz,
-        precision, oh_plans)
+        jnp.asarray(alpha, a.dtype), tilec, m, m_pad, k, n, T, cap_tile,
+        nnz, precision, oh_plans)
     return CSR.from_parts(indptr, cols, vals, (m, n), canonical=True)
 
 
@@ -604,6 +714,208 @@ def _alg3_compute_unrolled(a_indptr_pad, a_indices, a_data, b_ip_panels,
     return colbuf[:nnz], alpha * valbuf[:nnz]
 
 
+# ---------------------------------------------------------------------------
+# ALG3 scan-v3: host-exact structure + panel scan with unrolled tiles
+# ---------------------------------------------------------------------------
+
+# scan-v3 applies when the host structural product is affordable (it IS
+# the sizing pass — zero device syncs) and the T-tile unrolled scan body
+# compiles in bounded time; past either bound the device-sized scan-v2
+# keeps the field covered
+_SCAN3_MAX_TILES = 32
+_SCAN3_MAX_PRODUCTS = int(3e7)
+
+
+def _alg3_rank(a, b, n_b: int, T: int, n: int):
+    """Host-exact structure + the production→final value permutation.
+
+    Production order is (panel, tile, local row, local col) — the order
+    scan-v3 writes compacted block values; final order is canonical CSR.
+    One device sort by this rank key replaces scan-v2's per-tile merge
+    sorts AND its stacked (P, T, cap_blk) intermediates (measured
+    126.5 MB at 2048²/0.1 — above alg1's 80, inverting the reference's
+    peak hierarchy)."""
+    from spmm_tpu.ops.serving import _structural_product
+
+    indptr_h, indices_h, flat = _structural_product(a, b)
+    rows = (flat // n).astype(np.int64)
+    cols = (flat % n).astype(np.int64)
+    p_of = cols // n_b
+    t_of = rows // TILE
+    lflat = (rows % TILE) * n_b + (cols % n_b)
+    prod_order = np.lexsort((lflat, t_of, p_of))
+    P = int(p_of.max()) + 1 if flat.size else 1
+    blockc = np.bincount(p_of * T + t_of,
+                         minlength=P * T).reshape(P, T)
+    return indptr_h, indices_h, prod_order.astype(np.int32), blockc
+
+
+@functools.partial(
+    memtrace.jit,
+    static_argnames=("m", "k", "n_b", "T", "P", "Eb", "cap_blk", "nnz",
+                     "precision", "tiles_meta", "safe", "interpret"))
+def _alg3_compute_scan3(a_indptr_pad, a_indices, a_data, b_off, b_end,
+                        b_rowv, b_colv, b_valv, rank_pad, prod_off,
+                        alpha, m: int, k: int, n_b: int, T: int, P: int,
+                        Eb: int, cap_blk: int, nnz: int, precision: str,
+                        tiles_meta, safe: bool = False,
+                        interpret: bool = False):
+    """Panel-scan alg3 with T tiles unrolled per step (VERDICT r3 item 5,
+    the partial-unroll engine): per-tile static Pallas densify plans ride
+    inside the scan because a tile's plan does not depend on the panel;
+    an opaque token threaded through the carry poisons each step's tile
+    indices so XLA's loop-invariant hoisting cannot materialise a
+    resident full-A dense (the alg3 memory contract).  Values land in a
+    production buffer at exact static-cumsum offsets (ascending writes
+    overwrite the previous block's cap_blk padding); one rank sort
+    produces final CSR value order — the columns and indptr are already
+    exact on the host.  Peak: O(k·n_b panel + 3·nnz + one tile)."""
+    from spmm_tpu.ops.kernels.densify_onehot import densify_onehot
+
+    prec = _PREC[precision]
+    tiny = jnp.asarray(_TINY, a_data.dtype)
+    idx_blk = jnp.arange(TILE * n_b, dtype=INDEX_DTYPE)
+
+    def dens_a(t: int, tok):
+        e0, e1, plan = tiles_meta[t]
+        if e1 == e0:
+            return (jnp.zeros((TILE, k), a_data.dtype),
+                    jnp.zeros((TILE, k), jnp.bfloat16))
+        ipt = (lax.slice(a_indptr_pad, (t * TILE,),
+                         (t * TILE + TILE + 1,))
+               - jnp.asarray(e0, INDEX_DTYPE))
+        ixt = lax.slice(a_indices, (e0,), (e1,)) + tok
+        dvt = lax.slice(a_data, (e0,), (e1,))
+        if plan is not None:
+            return densify_onehot(ipt, ixt, dvt, TILE, k, plan, interpret)
+        vd = _value_dense(ipt, ixt, dvt, TILE, k)
+        pat = _pattern_dense(ipt, ixt, e1 - e0, TILE, k)
+        return vd, pat
+
+    def _dense_and_pat_b(seg, val):
+        size = (k + 1) * n_b
+        if safe:
+            vd = jnp.zeros((size,), val.dtype).at[seg].add(
+                val, mode="drop")[:k * n_b]
+            pat = jnp.zeros((size,), jnp.float32).at[seg].add(
+                1.0, mode="drop")[:k * n_b]
+            return (vd.reshape(k, n_b),
+                    (pat > 0).reshape(k, n_b).astype(jnp.bfloat16))
+        marked = jnp.where(val == 0, tiny, val)
+        dm = jnp.zeros((size,), val.dtype).at[seg].add(
+            marked, mode="drop")[:k * n_b].reshape(k, n_b)
+        return jnp.where(dm == tiny, 0, dm), (dm != 0).astype(jnp.bfloat16)
+
+    def panel_body(carry, p):
+        vbuf, tok = carry
+        boff = b_off[p]
+        bvalid = boff + jnp.arange(Eb, dtype=INDEX_DTYPE) < b_end[p]
+        bseg = jnp.where(
+            bvalid, lax.dynamic_slice(b_rowv, (boff,), (Eb,)), k)
+        bcol = jnp.where(
+            bvalid, lax.dynamic_slice(b_colv, (boff,), (Eb,)), 0)
+        bval = jnp.where(
+            bvalid, lax.dynamic_slice(b_valv, (boff,), (Eb,)), 0)
+        bd, b_pat = _dense_and_pat_b(
+            bseg * jnp.asarray(n_b, INDEX_DTYPE) + bcol, bval)
+        for t in range(T):
+            ad, a_pat = dens_a(t, tok)
+            ct = jnp.dot(ad, bd, precision=prec,
+                         preferred_element_type=a_data.dtype)
+            counts = jnp.dot(a_pat, b_pat,
+                             preferred_element_type=jnp.float32)
+            mask = (counts > 0).ravel()
+            nnz_b = jnp.sum(mask, dtype=INDEX_DTYPE)
+            sortkey = jnp.where(mask, idx_blk,
+                                jnp.asarray(TILE * n_b, INDEX_DTYPE))
+            _, val_s = lax.sort((sortkey, ct.ravel()), num_keys=1,
+                                is_stable=True)
+            vbuf = lax.dynamic_update_slice(
+                vbuf, val_s[:cap_blk], (prod_off[p, t],))
+            # opaque zero: makes the NEXT tile/panel densify a distinct
+            # computation (defeats CSE/hoisting of loop-invariant tiles)
+            tok = lax.shift_right_arithmetic(
+                nnz_b, jnp.asarray(31, INDEX_DTYPE))
+        return (vbuf, tok), ()
+
+    vbuf = jnp.zeros((nnz + cap_blk,), a_data.dtype)
+    (vbuf, _), _ = lax.scan(
+        panel_body, (vbuf, jnp.zeros((), INDEX_DTYPE)),
+        jnp.arange(P, dtype=INDEX_DTYPE))
+    _, vals = lax.sort((rank_pad, vbuf), num_keys=1, is_stable=True)
+    return alpha * vals[:nnz]
+
+
+def _spgemm_alg3_scan3(a, b, alpha, n_b: int, P: int, T: int,
+                       m_pad: int, precision: str, verbose: bool,
+                       interpret: bool):
+    from spmm_tpu.sparse.csr import CSR
+    from spmm_tpu.ops.spgemm import _empty_csr
+
+    m, k = a.shape
+    n = b.shape[1]
+    indptr_h, indices_h, prod_order, blockc = _alg3_rank(a, b, n_b, T, n)
+    nnz = int(indptr_h[-1])
+    if nnz == 0:
+        return _empty_csr(m, n, a.dtype)
+    if blockc.shape[0] < P:  # trailing all-empty panels
+        blockc = np.concatenate(
+            [blockc, np.zeros((P - blockc.shape[0], T), blockc.dtype)])
+    cap_blk = max(_round_up(int(blockc.max()), 8), 8)
+    prod_off = np.zeros(P * T + 1, np.int64)
+    np.cumsum(blockc.reshape(-1), out=prod_off[1:])
+    prod_off = prod_off[:-1].reshape(P, T).astype(np.int32)
+
+    a_indptr_h = np.asarray(a.indptr)
+    if m_pad != m:
+        a_indptr_h = np.concatenate(
+            [a_indptr_h, np.full((m_pad - m,), a_indptr_h[-1],
+                                 a_indptr_h.dtype)])
+    tiles_meta = []
+    for t in range(T):
+        e0 = int(a_indptr_h[t * TILE])
+        e1 = int(a_indptr_h[(t + 1) * TILE])
+        local = (a_indptr_h[t * TILE:(t + 1) * TILE + 1] - e0).astype(
+            np.int64)
+        plan = (_tile_onehot_plan(local, TILE, k, a.dtype, interpret)
+                if e1 > e0 else None)
+        tiles_meta.append((e0, e1, plan))
+
+    # B panel-major entry runs (local cols), padded by Eb sentinels
+    b_cols_h = np.asarray(b.indices)
+    panel_of = b_cols_h // n_b
+    b_counts = np.bincount(panel_of, minlength=P)
+    Eb = max(_round_up(int(b_counts.max()), 8), 8)
+    order = jnp.argsort(jnp.asarray(panel_of, INDEX_DTYPE), stable=True)
+    b_rows = jnp.concatenate(
+        [b.rows[order], jnp.full((Eb,), k, INDEX_DTYPE)])
+    b_colw = jnp.concatenate(
+        [(b.indices % jnp.asarray(n_b, INDEX_DTYPE))[order],
+         jnp.zeros((Eb,), INDEX_DTYPE)])
+    b_valv = jnp.concatenate([b.data[order], jnp.zeros((Eb,), b.dtype)])
+    b_bounds = np.concatenate([[0], np.cumsum(b_counts)])
+    rank_pad = np.concatenate(
+        [prod_order,
+         np.arange(nnz, nnz + cap_blk, dtype=np.int32)])
+    safe = bool(np.any(np.asarray(a.data) == np.float32(_TINY))
+                or np.any(np.asarray(b.data) == np.float32(_TINY)))
+    if verbose:
+        print(f"[spgemm alg3/blocked] scan3 T={T} P={P} n_b={n_b} "
+              f"cap_blk={cap_blk} nnz={nnz} onehot="
+              f"{sum(pl is not None for _, _, pl in tiles_meta)}a")
+    vals = _alg3_compute_scan3(
+        jnp.asarray(a_indptr_h, INDEX_DTYPE), a.indices, a.data,
+        jnp.asarray(b_bounds[:P], INDEX_DTYPE),
+        jnp.asarray(b_bounds[1:P + 1], INDEX_DTYPE),
+        b_rows, b_colw, b_valv, jnp.asarray(rank_pad),
+        jnp.asarray(prod_off), jnp.asarray(alpha, a.dtype),
+        m, k, n_b, T, P, Eb, cap_blk, nnz, precision,
+        tuple(tiles_meta), safe, interpret)
+    return CSR.from_parts(jnp.asarray(indptr_h, INDEX_DTYPE),
+                          jnp.asarray(indices_h, INDEX_DTYPE), vals,
+                          (m, n), canonical=True)
+
+
 def _spgemm_alg3_unrolled(a, b, alpha, n_b: int, P: int, T: int,
                           m_pad: int, precision: str, verbose: bool,
                           interpret: bool):
@@ -677,7 +989,7 @@ def _spgemm_alg3_unrolled(a, b, alpha, n_b: int, P: int, T: int,
 def spgemm_alg3_blocked(a, b, alpha, chunk_fraction: float,
                         precision: str = "highest",
                         verbose: bool = False, unroll=None,
-                        interpret: bool = False):
+                        interpret: bool = False, engine=None):
     """Chunked low-memory blocked SpGEMM; see module docstring."""
     from spmm_tpu.sparse.csr import CSR
     from spmm_tpu.ops.spgemm import _empty_csr
@@ -694,13 +1006,32 @@ def spgemm_alg3_blocked(a, b, alpha, chunk_fraction: float,
     m_pad = _round_up(max(m, 1), TILE)
     T = m_pad // TILE
 
-    if unroll is None:
-        unroll = (T * P <= MAX_UNROLL_BLOCKS
-                  and TILE * (n_pad + 1) < 2**31
-                  and a.nnz > 0 and b.nnz > 0)
-    if unroll:
+    # engine selection: unrolled (fastest, T·P-bounded compile) →
+    # scan-v3 (host-exact structure, panel scan with unrolled tiles,
+    # bounded memory) → scan-v2 (device-sized, unbounded grids).  All
+    # three are bitwise-identical.  `engine` forces one; the legacy
+    # `unroll` bool maps True→"unrolled", False→scan family.
+    if engine is None:
+        engine = {True: "unrolled", False: None}.get(unroll)
+    if engine is None:
+        if (T * P <= MAX_UNROLL_BLOCKS and TILE * (n_pad + 1) < 2**31
+                and a.nnz > 0 and b.nnz > 0):
+            engine = "unrolled"
+        else:
+            products = int(np.diff(np.asarray(b.indptr))[
+                np.asarray(a.indices)].sum()) if a.nnz and b.nnz else 0
+            if (a.nnz and b.nnz and T <= _SCAN3_MAX_TILES
+                    and products <= _SCAN3_MAX_PRODUCTS
+                    and TILE * (n_pad + 1) < 2**31):
+                engine = "scan3"
+            else:
+                engine = "scan2"
+    if engine == "unrolled":
         return _spgemm_alg3_unrolled(a, b, alpha, n_b, P, T, m_pad,
                                      precision, verbose, interpret)
+    if engine == "scan3":
+        return _spgemm_alg3_scan3(a, b, alpha, n_b, P, T, m_pad,
+                                  precision, verbose, interpret)
 
     # --- host-side entry-run plans (one indptr/indices readback each,
     # the same granularity as the ESC sizing passes) ---

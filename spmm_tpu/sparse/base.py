@@ -74,6 +74,11 @@ class SparseMatrix:
 
         return _bsr.csr_to_bsr(self.tocsr(), blocksize=blocksize)
 
+    def todia(self):
+        from spmm_tpu.sparse import dia as _dia
+
+        return _dia.coo_to_dia(self.tocoo())
+
     def todense(self):
         return self.toarray()
 

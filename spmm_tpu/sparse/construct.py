@@ -117,8 +117,6 @@ def eye(m: int, n: Optional[int] = None, k: int = 0, dtype=jnp.float32,
     col = jnp.arange(size, dtype=INDEX_DTYPE) + max(k, 0)
     data = jnp.ones((size,), dtype)
     coo = COO.from_parts(row, col, data, (m, n), canonical=True)
-    if format == "dia":
-        format = "csr"
     return coo.asformat(format)
 
 
@@ -153,8 +151,6 @@ def spdiags(data, diags_offsets, m: int, n: int, format: str = "dia"):
     else:
         coo = COO.from_parts(jnp.concatenate(rows), jnp.concatenate(cols),
                              jnp.concatenate(vals), (m, n))
-    if format == "dia":
-        format = "csr"
     return coo.asformat(format)
 
 
@@ -187,9 +183,58 @@ def diags(diagonals, offsets=0, shape=None, format: str = "dia",
         vals.append(v)
     coo = COO.from_parts(jnp.concatenate(rows), jnp.concatenate(cols),
                          jnp.concatenate(vals), (m, n))
-    if format == "dia":
-        format = "csr"
     return coo.asformat(format)
+
+
+def kron(A, B, format: Optional[str] = None):
+    """Kronecker product of sparse matrices (`_construct.py:498-548`):
+    expand A's entries into B-sized blocks in COO space — block indices
+    are A's scaled by B's shape, entry data the outer product of the two
+    data vectors.  Output dtype follows A's, like the reference."""
+    from spmm_tpu.sparse.base import issparse
+
+    A = A.tocoo() if issparse(A) else COO(jnp.asarray(A))
+    B = B.tocoo() if issparse(B) else COO(jnp.asarray(B))
+    out_shape = (A.shape[0] * B.shape[0], A.shape[1] * B.shape[1])
+    if A.nnz == 0 or B.nnz == 0:
+        z = COO.from_parts(jnp.zeros((0,), INDEX_DTYPE),
+                           jnp.zeros((0,), INDEX_DTYPE),
+                           jnp.zeros((0,), A.dtype), out_shape,
+                           canonical=True)
+        return z.asformat(format or "coo")
+    if max(out_shape) > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"kron output shape {out_shape} exceeds int32 index space "
+            "(the containers here are int32-indexed, matching the "
+            "reference's default)")
+    bn = B.nnz
+    row = jnp.repeat(A.row * B.shape[0], bn).reshape(-1, bn) + B.row
+    col = jnp.repeat(A.col * B.shape[1], bn).reshape(-1, bn) + B.col
+    data = (jnp.repeat(A.data, bn).reshape(-1, bn)
+            * B.data.astype(A.dtype))
+    # blocks are emitted in A-entry order: the concatenation is NOT
+    # globally (row, col)-sorted (a block spans B.shape[0] output rows),
+    # so the result must canonicalise on conversion
+    out = COO.from_parts(row.ravel(), col.ravel(), data.ravel(), out_shape,
+                         canonical=False)
+    return out.asformat(format or "coo")
+
+
+def kronsum(A, B, format: Optional[str] = None):
+    """Kronecker sum ``kron(I_n, A) + kron(B, I_m)`` for square A, B
+    (`_construct.py:551-585`)."""
+    from spmm_tpu.sparse.base import issparse
+
+    A = A.tocoo() if issparse(A) else COO(jnp.asarray(A))
+    B = B.tocoo() if issparse(B) else COO(jnp.asarray(B))
+    if A.shape[0] != A.shape[1]:
+        raise ValueError("A is not square matrix")
+    if B.shape[0] != B.shape[1]:
+        raise ValueError("B is not square matrix")
+    dtype = jnp.promote_types(A.dtype, B.dtype)
+    L = kron(eye(B.shape[0], dtype=dtype, format="coo"), A.astype(dtype))
+    R = kron(B.astype(dtype), eye(A.shape[0], dtype=dtype, format="coo"))
+    return (L.tocsr() + R.tocsr()).asformat(format or "csr")
 
 
 def bmat(blocks, format: Optional[str] = None, dtype=None):
