@@ -519,9 +519,12 @@ U1F = 4          # fused-kernel tiles per grid step at large NL.
 #                  NLP is a multiple of U1*128=1024, so the grid
 #                  divides the padded tables for any U1F <= 8.
 U1F_SMALL_NL = 4096   # lane-rows below which U1F=2 wins
+_U1F_OVERRIDE = None  # experiment hook (jobs): force a specific u1f
 
 
 def _u1f_for(NL: int) -> int:
+    if _U1F_OVERRIDE is not None:
+        return _U1F_OVERRIDE
     return 2 if NL <= U1F_SMALL_NL else U1F
 
 
@@ -610,9 +613,38 @@ def _fused_kernel_seg(seg_ref, hi_ref, val_ref, route_ref, xq_ref, y_ref,
         y_ref[pl.ds(s2, 8), :] += jnp.where(iota8 == (g2 & 7), c2, 0.0)
 
 
-@functools.partial(memtrace.jit, static_argnames=("plan_static", "interpret"))
+def _fused_kernel_dense(hi_ref, val_ref, route_ref, xq_ref, out_ref,
+                        *, C: int, u1f: int):
+    """Dense-subsum variant for plans whose tiles span >2 groups (the
+    nseg == 0 regime — small plans with tiny per-group budgets): the
+    16 per-sub-block masked dynamic y updates of `_fused_kernel` (the
+    measured ~39%/slot fallback overhead at 100k nnz) are replaced by
+    ONE dense (16, 128) write of the sub-block sums per tile; the
+    group accumulation happens outside the kernel as a one-hot f32
+    matmul (exact sums, fixed tree) — sub-block rows are group-pure,
+    so y[g] = sum of its sub-blocks' rows."""
+    xq = xq_ref[...]
+    for j in range(u1f):
+        sl = slice(j * 128, (j + 1) * 128)
+        routed = _routed_products(xq, hi_ref[sl, :], route_ref[sl, :],
+                                  val_ref[sl, :], C)
+        sums = [jnp.sum(routed[u * SB:(u + 1) * SB, :], axis=0,
+                        keepdims=True) for u in range(128 // SB)]
+        out_ref[j * (128 // SB):(j + 1) * (128 // SB), :] = \
+            jnp.concatenate(sums, axis=0)
+
+
+# matsum epilogue budget: the (G_pad, NSB) one-hot must stay small next
+# to the table stream; past this, the legacy masked-update kernel runs
+_MATSUM_MAX_ONEHOT = 1 << 22
+
+
+@functools.partial(memtrace.jit,
+                   static_argnames=("plan_static", "interpret", "mode",
+                                    "u1f_override"))
 def _spmv_routed_call(hi_tbl, val_tbl, route_tbl, seg, r0s, x,
-                      plan_static, interpret=False):
+                      plan_static, interpret=False, mode="auto",
+                      u1f_override=None):
     m, n, NL, nsteps1, nsteps2, R, C, nseg = plan_static
     m128 = 128 // R
     n_pad = C * 128 * m128
@@ -623,9 +655,39 @@ def _spmv_routed_call(hi_tbl, val_tbl, route_tbl, seg, r0s, x,
                   (1, R, 1)).reshape(C * 128, 128)
 
     G_pad = _round_up(_ceil_div(m, 128), 8)
-    u1f = _u1f_for(NL)
+    u1f = u1f_override if u1f_override is not None else _u1f_for(NL)
     nstepsf = max(_ceil_div(NL, u1f * 128), 1)
-    if nseg == 2:
+    nsb = NL // SB
+    use_matsum = (mode == "matsum" or
+                  (mode == "auto" and nseg == 0
+                   and G_pad * nsb <= _MATSUM_MAX_ONEHOT))
+    if use_matsum:
+        # dense sub-block sums + one-hot matmul group accumulation
+        subsums = pl.pallas_call(
+            functools.partial(_fused_kernel_dense, C=C, u1f=u1f),
+            grid=(nstepsf,),
+            in_specs=[
+                pl.BlockSpec((u1f * 128, 128), lambda i: (i, 0)),
+                pl.BlockSpec((u1f * 128, 128), lambda i: (i, 0)),
+                pl.BlockSpec((u1f * 128, 128), lambda i: (i, 0)),
+                pl.BlockSpec((C * 128, 128), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((u1f * (128 // SB), 128),
+                                   lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((nsb, 128), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 2**20),
+            interpret=interpret,
+        )(hi_tbl, val_tbl, route_tbl, xq)
+        # r0s is the group base row per sub-block (dead sub-blocks point
+        # at the last group and contribute exact +0.0 rows); the one-hot
+        # rides the MXU — exact f32 sums in a fixed, deterministic tree
+        onehot = (jnp.arange(G_pad, dtype=jnp.int32)[:, None]
+                  == (r0s[:nsb] >> 7)[None, :]).astype(jnp.float32)
+        y = jnp.dot(onehot, subsums, precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+        return y.reshape(G_pad * 128)[:m]
+    if nseg == 2 and mode in ("auto", "seg"):
         sc = seg
         kern = functools.partial(_fused_kernel_seg, C=C, u1f=u1f)
     else:
@@ -652,14 +714,22 @@ def _spmv_routed_call(hi_tbl, val_tbl, route_tbl, seg, r0s, x,
     return y.reshape(G_pad * 128)[:m]
 
 
-def spmv_routed(x, plan: SpmvRoutedPlan, interpret: bool = False):
-    """y = A @ x for the fixed structure/values captured in `plan`."""
+def spmv_routed(x, plan: SpmvRoutedPlan, interpret: bool = False,
+                mode: str = "auto", u1f_override=None):
+    """y = A @ x for the fixed structure/values captured in `plan`.
+
+    `mode`/`u1f_override` select the reduce kernel explicitly (A/B
+    probes and tests): "auto" = seg2 boundary-split when the plan
+    guarantees <= 2 group segments per tile, dense-subsum + one-hot
+    matmul ("matsum") otherwise, legacy per-sub-block masked updates
+    ("fallback") past the matsum one-hot budget."""
     nseg = plan.nseg if plan.seg_tbl is not None else 0
     ps = (plan.m, plan.n, plan.NL, plan.nsteps1, plan.nsteps2,
           plan.R, plan.C, nseg)
     seg = plan.seg_tbl if nseg == 2 else plan.r0s
     return _spmv_routed_call(plan.hi_tbl, plan.val_tbl, plan.route_tbl,
-                             seg, plan.r0s, x, ps, interpret)
+                             seg, plan.r0s, x, ps, interpret, mode,
+                             u1f_override)
 
 
 # ===========================================================================
@@ -820,6 +890,82 @@ def _fused_kernel_seg_m(seg_ref, hi_ref, valr_ref, route_ref, xq_ref,
         y_ref[pl.ds(s2, 8), :] += jnp.where(iota8 == (g2 & 7), c2, 0.0)
 
 
+def _fused_kernel_dense_m(hi_ref, valr_ref, route_ref, xq_ref, out_ref,
+                          *, C: int, u1f: int):
+    """KB-column variant of `_fused_kernel_dense` for nseg == 0 plans:
+    dense (16, KB·128) sub-block-sum writes per tile — the z
+    intermediate (2·KB·512 HBM bytes per lane-row, dominant at extreme
+    sparsity) shrinks 8× to sub-block granularity, and the group
+    accumulation rides the one-hot MXU matmul outside."""
+    xq = xq_ref[...]
+    for j in range(u1f):
+        sl = slice(j * 128, (j + 1) * 128)
+        hi = hi_ref[sl, :]
+        idx = hi.astype(jnp.int32)
+        if C > 1:
+            idx = idx & 127
+        val_r = valr_ref[sl, :]
+        r = route_ref[sl, :].astype(jnp.int32)
+        cols = []
+        for c in range(KB):
+            base = c * C * 128
+            xv = jnp.take_along_axis(xq[base:base + 128, :], idx, axis=1)
+            for t in range(1, C):
+                xt = jnp.take_along_axis(
+                    xq[base + t * 128:base + (t + 1) * 128, :], idx,
+                    axis=1)
+                xv = jnp.where((hi.astype(jnp.int32) >> 7) == t, xt, xv)
+            cols.append(val_r * jnp.take_along_axis(xv.T, r, axis=1))
+        routed = jnp.concatenate(cols, axis=1)       # (128, KB*128)
+        sums = [jnp.sum(routed[u * SB:(u + 1) * SB, :], axis=0,
+                        keepdims=True) for u in range(128 // SB)]
+        out_ref[j * (128 // SB):(j + 1) * (128 // SB), :] = \
+            jnp.concatenate(sums, axis=0)
+
+
+@functools.partial(memtrace.jit, static_argnames=("plan_static", "interpret"))
+def _spmm_routed_call_matsum(hi_tbl, val_tbl, route_tbl, r0s, xb,
+                             plan_static, interpret=False):
+    """Fused one-kernel KB-column block for nseg == 0 plans: dense
+    sub-block sums + one-hot matmul (the SpMM twin of the SpMV matsum
+    path)."""
+    m, n, NL, R, C = plan_static
+    m128 = 128 // R
+    n_pad = C * 128 * m128
+    xp = xb.astype(jnp.float32)
+    if n < n_pad:
+        xp = jnp.concatenate(
+            [xp, jnp.zeros((n_pad - n, KB), jnp.float32)], axis=0)
+    xq = jnp.tile(xp.T.reshape(KB, C, 128, m128).transpose(0, 1, 3, 2),
+                  (1, 1, R, 1)).reshape(KB * C * 128, 128)
+    G_pad = _round_up(_ceil_div(m, 128), 8)
+    u1f = _u1f_for(NL)
+    nstepsf = max(_ceil_div(NL, u1f * 128), 1)
+    nsb = NL // SB
+    subsums = pl.pallas_call(
+        functools.partial(_fused_kernel_dense_m, C=C, u1f=u1f),
+        grid=(nstepsf,),
+        in_specs=[
+            pl.BlockSpec((u1f * 128, 128), lambda i: (i, 0)),
+            pl.BlockSpec((u1f * 128, 128), lambda i: (i, 0)),
+            pl.BlockSpec((u1f * 128, 128), lambda i: (i, 0)),
+            pl.BlockSpec((KB * C * 128, 128), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((u1f * (128 // SB), KB * 128),
+                               lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((nsb, KB * 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+        interpret=interpret,
+    )(hi_tbl, val_tbl, route_tbl, xq)
+    onehot = (jnp.arange(G_pad, dtype=jnp.int32)[:, None]
+              == (r0s[:nsb] >> 7)[None, :]).astype(jnp.float32)
+    y = jnp.dot(onehot, subsums, precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+    yk = y.reshape(G_pad, KB, 128).transpose(1, 0, 2).reshape(
+        KB, G_pad * 128)[:, :m]
+    return yk.T
+
+
 @functools.partial(memtrace.jit, static_argnames=("plan_static", "interpret"))
 def _spmm_routed_call_fused(hi_tbl, val_tbl, route_tbl, seg, xb,
                             plan_static, interpret=False):
@@ -871,6 +1017,9 @@ def spmm_routed(x, plan: SpmvRoutedPlan, interpret: bool = False):
         x = jnp.concatenate(
             [x, jnp.zeros((n, k_pad - k), x.dtype)], axis=1)
     fused = plan.nseg == 2 and plan.seg_tbl is not None
+    G_pad = _round_up(_ceil_div(plan.m, 128), 8)
+    matsum = (not fused
+              and G_pad * (plan.NL // SB) <= _MATSUM_MAX_ONEHOT)
     outs = []
     for b in range(k_pad // KB):
         xb = x[:, b * KB:(b + 1) * KB]
@@ -878,6 +1027,11 @@ def spmm_routed(x, plan: SpmvRoutedPlan, interpret: bool = False):
             ps = (plan.m, plan.n, plan.NL, plan.R, plan.C)
             outs.append(_spmm_routed_call_fused(
                 plan.hi_tbl, plan.val_tbl, plan.route_tbl, plan.seg_tbl,
+                xb, ps, interpret))
+        elif matsum:
+            ps = (plan.m, plan.n, plan.NL, plan.R, plan.C)
+            outs.append(_spmm_routed_call_matsum(
+                plan.hi_tbl, plan.val_tbl, plan.route_tbl, plan.r0s,
                 xb, ps, interpret))
         else:
             ps = (plan.m, plan.n, plan.NL, plan.nsteps1, plan.nsteps2,

@@ -143,6 +143,57 @@ def test_spmv_routed_seg2_matches_fallback_kernel():
     assert np.max(np.abs(y0 - ref) / rowabs) < 4e-7
 
 
+@pytest.mark.parametrize("mode", ["matsum", "fallback"])
+def test_spmv_routed_mode_parity(mode):
+    """The explicit reduce-kernel selectors (matsum = dense sub-block
+    sums + one-hot MXU group accumulation, fallback = legacy masked
+    per-sub-block updates) must agree with SciPy within the f32
+    fixed-order bound on an nseg=0 plan — the small-plan regime where
+    `mode="auto"` picks matsum."""
+    from scipy import sparse as sp
+
+    a = st.random(700, 900, 0.004, format="csr", random_state=11)
+    plan = _plan(a)
+    assert plan is not None
+    plan = plan._replace(seg_tbl=None, nseg=0)
+    x = np.random.default_rng(7).standard_normal(900).astype(np.float32)
+    y = np.asarray(spmv_routed(jnp.asarray(x), plan, interpret=True,
+                               mode=mode))
+    A64 = sp.csr_matrix((np.asarray(a.data, np.float64),
+                         np.asarray(a.indices), np.asarray(a.indptr)),
+                        shape=a.shape)
+    ref = A64 @ x.astype(np.float64)
+    rowabs = abs(A64) @ np.abs(x.astype(np.float64)) + 1e-30
+    assert np.max(np.abs(y - ref) / rowabs) < 4e-7
+
+
+def test_spmv_routed_matsum_deterministic():
+    """matsum's one-hot matmul accumulation is a fixed tree: bitwise
+    reproducible across calls."""
+    a = st.random(500, 500, 0.01, format="csr", random_state=12)
+    plan = _plan(a)._replace(seg_tbl=None, nseg=0)
+    x = jnp.asarray(np.random.default_rng(8).standard_normal(500)
+                    .astype(np.float32))
+    y1 = np.asarray(spmv_routed(x, plan, interpret=True, mode="matsum"))
+    y2 = np.asarray(spmv_routed(x, plan, interpret=True, mode="matsum"))
+    assert np.array_equal(y1, y2)
+
+
+def test_spmm_routed_matsum_scipy_parity():
+    """The SpMM matsum path (nseg=0 plans under the one-hot budget) must
+    match SciPy for multi-vector execution."""
+    from spmm_tpu.ops.kernels.spmv_routed import spmm_routed
+
+    a = st.random(300, 260, 0.04, format="csr", random_state=6)
+    plan = _plan(a)._replace(seg_tbl=None, nseg=0)
+    X = np.random.default_rng(3).standard_normal((260, 17)).astype(
+        np.float32)
+    Y = np.asarray(spmm_routed(jnp.asarray(X), plan, interpret=True))
+    ref = _scipy(a) @ X
+    scale = max(np.abs(ref).max(), 1e-30)
+    np.testing.assert_allclose(Y, ref, atol=4e-7 * scale)
+
+
 def test_spmm_routed_scipy_parity():
     """Multi-vector execution over the same plan (cuSPARSE SpMM
     analogue, cusparse.py:1440-1514)."""
