@@ -910,7 +910,14 @@ def spgemm_fixed(a, b, alpha=1.0, cap: Optional[int] = None,
 
 
 def spgemm_nnz_estimate(a, b) -> Tuple[int, int]:
-    """(intermediate products P, upper bound on nnz(C)) — sizing helper."""
-    _, ends = _work_estimation(a.indices, b.indptr)
-    P = int(ends[-1]) if a.nnz else 0
+    """(intermediate products P, upper bound on nnz(C)) — sizing helper.
+
+    Host int64 math: the on-device `_work_estimation` cumsum is
+    INDEX_DTYPE (int32) and wraps negative past 2^31 products (hit at
+    2048²/0.5 — P ≈ 2.1e9), which poisoned every downstream byte
+    estimate."""
+    if not a.nnz or not b.nnz:
+        return 0, 0
+    P = int(np.diff(np.asarray(b.indptr)).astype(np.int64)[
+        np.asarray(a.indices)].sum())
     return P, min(P, a.shape[0] * b.shape[1])
