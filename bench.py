@@ -104,16 +104,24 @@ def main():
         l2 = make_loop(plans, 5 * K_INNER)
         jax.block_until_ready(l1(A.data))  # compile + warm
         jax.block_until_ready(l2(A.data))
-        slopes = []
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            jax.block_until_ready(l1(A.data))
-            t1 = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            jax.block_until_ready(l2(A.data))
-            t2 = time.perf_counter() - t0
-            slopes.append((t2 - t1) * 1e3 / (4 * K_INNER))
-        return statistics.median(slopes)
+        def run_reps(nreps):
+            slopes = []
+            for _ in range(nreps):
+                t0 = time.perf_counter()
+                jax.block_until_ready(l1(A.data))
+                t1 = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                jax.block_until_ready(l2(A.data))
+                t2 = time.perf_counter() - t0
+                slopes.append((t2 - t1) * 1e3 / (4 * K_INNER))
+            return statistics.median(slopes)
+
+        med = run_reps(REPS)
+        if med <= 0.0:
+            # a non-positive slope is physically impossible — the relay
+            # overhead spiked mid-run; retry with more reps
+            med = run_reps(2 * REPS + 1)
+        return med
 
     # serving path: densify plans + capacity hoisted per structure (the
     # cuSPARSE descriptor/workspace-reuse pattern)

@@ -102,16 +102,25 @@ def _device_loop_ms(A, B, size, iters=100):
     l1, l2 = make(iters), make(5 * iters)
     jax.block_until_ready(l1(A.data))
     jax.block_until_ready(l2(A.data))
-    slopes = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        jax.block_until_ready(l1(A.data))
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        jax.block_until_ready(l2(A.data))
-        t2 = time.perf_counter() - t0
-        slopes.append((t2 - t1) * 1e3 / (4 * iters))
-    return statistics.median(slopes)
+
+    def run_reps(nreps):
+        slopes = []
+        for _ in range(nreps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(l1(A.data))
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            jax.block_until_ready(l2(A.data))
+            t2 = time.perf_counter() - t0
+            slopes.append((t2 - t1) * 1e3 / (4 * iters))
+        return statistics.median(slopes)
+
+    ms = run_reps(5)
+    if ms <= 0.0:
+        # impossible slope ⇒ the relay overhead spiked mid-measurement
+        # (job 003 r4 recorded -0.0 here during a degraded-relay window)
+        ms = run_reps(11)
+    return ms
 
 
 def measure_memory(A, B, alg, chunk_fraction):

@@ -284,6 +284,14 @@ def _alg2_compute_unrolled(a_indptr_pad, a_indices, a_data, b_indptr,
         vals = lax.dynamic_update_slice(vals, vals_t, (off,))
         rowc_seg[t] = jnp.sum(mask, axis=1, dtype=INDEX_DTYPE)
         off += cap_t
+        # sequence the tiles: without this barrier XLA's latency-hiding
+        # scheduler overlaps every tile's (ct, counts, extract) workspace
+        # — peak grows O(T·tile_ws) and the measured alg2 peak exceeded
+        # alg1's, inverting the hierarchy the strategy exists for.  The
+        # barrier makes tile t+1's input slices depend on tile t's write,
+        # so exactly one tile workspace is live at a time.
+        cols, vals, a_data = lax.optimization_barrier(
+            (cols, vals, a_data))
     rowc = jnp.concatenate(rowc_seg)[:m]
     indptr = jnp.concatenate(
         [jnp.zeros((1,), INDEX_DTYPE),
@@ -685,32 +693,45 @@ def _alg3_compute_unrolled(a_indptr_pad, a_indices, a_data, b_ip_panels,
                 + flat_c % jnp.asarray(n_b, INDEX_DTYPE) \
                 + jnp.asarray(p * n_b, INDEX_DTYPE)
             gflat = jnp.where(valid_i < nnz_b, gflat, BIG)
-            blocks[p][t] = (gflat, val_s[:cap_blk], nnz_b)
             # opaque zero (sign bit of a nonnegative count): makes the next
             # panel's A-tile densify a distinct computation, defeating CSE
             tok = lax.shift_right_arithmetic(
                 nnz_b, jnp.asarray(31, INDEX_DTYPE))
+            # sequence the blocks: the tok chain serializes the pattern
+            # matmuls but NOT the value matmul + compaction sort, so XLA
+            # overlapped every block's sort workspace (O(T·P·TILE·n_b)
+            # temp).  Routing the block outputs and the next block's
+            # inputs through one barrier pins peak at the compacted
+            # block outputs (the memory contract) + ONE block workspace.
+            gflat, vcomp, tok, a_data, b_vals = lax.optimization_barrier(
+                (gflat, val_s[:cap_blk], tok, a_data, b_vals))
+            blocks[p][t] = (gflat, vcomp, nnz_b)
 
     # per-tile merge: a tile's entries are contiguous in the output and
     # its P blocks are column-disjoint, so one fused-flat sort per tile
     # yields final row-major order; ascending dynamic-update-slices let
     # each tile overwrite the previous tile's padding garbage
-    cols_t, vals_t, nnz_ts = [], [], []
-    for t in range(T):
-        gf = jnp.concatenate([blocks[p][t][0] for p in range(P)])
-        vv = jnp.concatenate([blocks[p][t][1] for p in range(P)])
-        gf_s, vv_s = lax.sort((gf, vv), num_keys=1, is_stable=True)
-        cols_t.append(gf_s[:cap_tile] % nI)
-        vals_t.append(vv_s[:cap_tile])
-        nnz_ts.append(sum(blocks[p][t][2] for p in range(P)))
+    nnz_ts = [sum(blocks[p][t][2] for p in range(P)) for t in range(T)]
     offs = jnp.concatenate(
         [jnp.zeros((1,), INDEX_DTYPE),
          jnp.cumsum(jnp.stack(nnz_ts), dtype=INDEX_DTYPE)])
     colbuf = jnp.zeros((nnz + cap_tile,), INDEX_DTYPE)
     valbuf = jnp.zeros((nnz + cap_tile,), a_data.dtype)
+    ztok = jnp.zeros((), INDEX_DTYPE)
     for t in range(T):
-        colbuf = lax.dynamic_update_slice(colbuf, cols_t[t], (offs[t],))
-        valbuf = lax.dynamic_update_slice(valbuf, vals_t[t], (offs[t],))
+        # ztok (provably zero, opaque to XLA) chains each tile's merge
+        # sort onto the previous tile's write so the T sort workspaces
+        # never coexist
+        gf = jnp.concatenate([blocks[p][t][0] for p in range(P)]) + ztok
+        vv = jnp.concatenate([blocks[p][t][1] for p in range(P)])
+        gf_s, vv_s = lax.sort((gf, vv), num_keys=1, is_stable=True)
+        colbuf = lax.dynamic_update_slice(
+            colbuf, gf_s[:cap_tile] % nI, (offs[t],))
+        valbuf = lax.dynamic_update_slice(
+            valbuf, vv_s[:cap_tile], (offs[t],))
+        colbuf, valbuf = lax.optimization_barrier((colbuf, valbuf))
+        ztok = lax.shift_right_arithmetic(colbuf[0],
+                                          jnp.asarray(31, INDEX_DTYPE))
     return colbuf[:nnz], alpha * valbuf[:nnz]
 
 

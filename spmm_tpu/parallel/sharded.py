@@ -312,11 +312,18 @@ def spmv_sharded_streamed(a_or_plan, x_blocks, mesh: Mesh,
 
     x blocks rotate through a `ppermute` ring (the B-ring pattern of
     `spgemm_sharded_sparse`); each arriving block multiplies the entries
-    pre-grouped for it at plan time, transfers overlapping compute.  Per-
-    block partials are folded in ASCENDING block order after the loop, so
-    y's summation tree is fixed — independent of device count visit order
-    — and bitwise-equal to `spmv_sharded_blocked` (the replicated-x twin
-    that computes the identical tree without communication).
+    pre-grouped for it at plan time, transfers overlapping compute.
+
+    Reduction tree: blocks arrive in descending order within two runs
+    (my..0 then D-1..my+1), and each run is folded on the fly into its
+    own accumulator (a right-fold), y = accLow + accHigh.  The tree is
+    fixed per output row (my is the row's home device), so results are
+    run-to-run deterministic and bitwise-equal to
+    `spmv_sharded_blocked`, the replicated-x twin that replays the
+    identical fold without communication.  The two-accumulator form
+    keeps the loop carry O(n/D); the previous ascending fold buffered
+    all D per-block partials — an O(m) term that defeated the O(1/D)
+    footprint contract this path exists for.
     """
     plan = (a_or_plan if isinstance(a_or_plan, SpmvStreamPlan)
             else spmv_stream_plan(a_or_plan, mesh, axis))
@@ -333,7 +340,7 @@ def spmv_sharded_streamed(a_or_plan, x_blocks, mesh: Mesh,
             my = jax.lax.axis_index(axis).astype(INDEX_DTYPE)
 
             def step(s, carry):
-                xb, ybuf = carry
+                xb, acc_low, acc_high = carry
                 blk = jnp.mod(my - s, D)
                 sl = (blk * Eb).astype(INDEX_DTYPE)
                 part = _spmv_block_partial(
@@ -341,23 +348,22 @@ def spmv_sharded_streamed(a_or_plan, x_blocks, mesh: Mesh,
                     jax.lax.dynamic_slice(cols_b[0], (sl,), (Eb,)),
                     jax.lax.dynamic_slice(data_b[0], (sl,), (Eb,)),
                     xb, r_local)
-                ybuf = jax.lax.dynamic_update_slice(
-                    ybuf, part[None], (blk.astype(INDEX_DTYPE),
-                                       jnp.asarray(0, INDEX_DTYPE)))
+                # blocks ≤ my arrive first (descending), then > my:
+                # right-fold each run into its own accumulator
+                low = blk <= my
+                acc_low = jnp.where(low, part + acc_low, acc_low)
+                acc_high = jnp.where(low, acc_high, part + acc_high)
                 xb = jax.lax.ppermute(xb, axis, perm)
-                return (xb, ybuf)
+                return (xb, acc_low, acc_high)
 
             def vary(v):
                 return jax.lax.pcast(v, (axis,), to="varying")
-            init = (x_b[0], vary(jnp.zeros((D, r_local), data_b.dtype)))
-            _, ybuf = jax.lax.fori_loop(
+            zero = vary(jnp.zeros((r_local,), data_b.dtype))
+            init = (x_b[0], zero, zero)
+            _, acc_low, acc_high = jax.lax.fori_loop(
                 jnp.asarray(0, INDEX_DTYPE), jnp.asarray(D, INDEX_DTYPE),
                 step, init)
-            # ascending-block fold: fixed tree regardless of ring order
-            y = jax.lax.fori_loop(
-                0, D, lambda j, acc: acc + ybuf[j],
-                vary(jnp.zeros((r_local,), data_b.dtype)))
-            return y[None]
+            return (acc_low + acc_high)[None]
 
         return ring
 
@@ -368,8 +374,10 @@ def spmv_sharded_streamed(a_or_plan, x_blocks, mesh: Mesh,
 
 def spmv_sharded_blocked(a_or_plan, x, mesh: Mesh, axis: str = "rows"):
     """Replicated-x twin of `spmv_sharded_streamed`: identical per-block
-    partials folded in the same ascending order, x sliced locally instead
-    of ring-transferred — the bitwise cross-check for the streamed path
+    partials folded through the identical two-accumulator split
+    right-fold (blocks my..0 into acc_low, D-1..my+1 into acc_high,
+    y = acc_low + acc_high), x sliced locally instead of
+    ring-transferred — the bitwise cross-check for the streamed path
     (and the fallback when x is already replicated)."""
     plan = (a_or_plan if isinstance(a_or_plan, SpmvStreamPlan)
             else spmv_stream_plan(a_or_plan, mesh, axis))
@@ -382,23 +390,29 @@ def spmv_sharded_blocked(a_or_plan, x, mesh: Mesh, axis: str = "rows"):
             in_specs=(P(axis), P(axis), P(axis), P()),
             out_specs=P(axis))
         def step(rows_b, cols_b, data_b, x_full):
+            my = jax.lax.axis_index(axis).astype(INDEX_DTYPE)
             xp = jnp.pad(x_full, (0, D * nb - x_full.shape[0]))
 
-            def fold(j, y):
+            def fold(s, carry):
+                acc_low, acc_high = carry
+                blk = jnp.mod(my - s, D)
                 part = _spmv_block_partial(
-                    jax.lax.dynamic_slice(rows_b[0], (j * Eb,), (Eb,)),
-                    jax.lax.dynamic_slice(cols_b[0], (j * Eb,), (Eb,)),
-                    jax.lax.dynamic_slice(data_b[0], (j * Eb,), (Eb,)),
-                    jax.lax.dynamic_slice(xp, (j * nb,), (nb,)),
+                    jax.lax.dynamic_slice(rows_b[0], (blk * Eb,), (Eb,)),
+                    jax.lax.dynamic_slice(cols_b[0], (blk * Eb,), (Eb,)),
+                    jax.lax.dynamic_slice(data_b[0], (blk * Eb,), (Eb,)),
+                    jax.lax.dynamic_slice(xp, (blk * nb,), (nb,)),
                     r_local)
-                return y + part
+                low = blk <= my
+                acc_low = jnp.where(low, part + acc_low, acc_low)
+                acc_high = jnp.where(low, acc_high, part + acc_high)
+                return (acc_low, acc_high)
 
-            y = jax.lax.fori_loop(
+            zero = jax.lax.pcast(jnp.zeros((r_local,), data_b.dtype),
+                                 (axis,), to="varying")
+            acc_low, acc_high = jax.lax.fori_loop(
                 jnp.asarray(0, INDEX_DTYPE), jnp.asarray(D, INDEX_DTYPE),
-                fold,
-                jax.lax.pcast(jnp.zeros((r_local,), data_b.dtype),
-                              (axis,), to="varying"))
-            return y[None]
+                fold, (zero, zero))
+            return (acc_low + acc_high)[None]
 
         return step
 

@@ -148,16 +148,25 @@ def slope_ms(records: Sequence[memtrace.ProgramRecord],
     for _ in range(max(warmup, 1)):
         jax.block_until_ready(l1(c0))
         jax.block_until_ready(l2(c0))
-    slopes = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(l1(c0))
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        jax.block_until_ready(l2(c0))
-        t2 = time.perf_counter() - t0
-        slopes.append((t2 - t1) * 1e3 / (k2 - k1))
-    return statistics.median(slopes)
+    def run_reps(nreps):
+        slopes = []
+        for _ in range(nreps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(l1(c0))
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            jax.block_until_ready(l2(c0))
+            t2 = time.perf_counter() - t0
+            slopes.append((t2 - t1) * 1e3 / (k2 - k1))
+        return statistics.median(slopes)
+
+    ms = run_reps(reps)
+    if ms <= 0.0:
+        # a non-positive slope is physically impossible — it means the
+        # relay's per-call overhead spiked by more than the whole
+        # (k2-k1)·t_iter during the run; retry once with more reps
+        ms = run_reps(2 * reps + 1)
+    return ms
 
 
 def op_device_ms(op, *args, k1: int = 100, k2: int = 500, reps: int = 5,
