@@ -139,7 +139,7 @@ def measure_memory(A, B, alg, chunk_fraction):
 
 
 def run_case(size, density, runs, chunk_fraction, dtype, seed, algs,
-             device_loop=False, memory=False):
+             device_loop=False, memory=False, serving=True):
     m = k = n = size
     A = st.random(m, k, density, format="csr", dtype=dtype,
                   random_state=seed)
@@ -147,10 +147,14 @@ def run_case(size, density, runs, chunk_fraction, dtype, seed, algs,
                   random_state=seed + 1)
     results = {}
     if device_loop:
-        # serving-path alg1 throughput (structure + densify plans hoisted
-        # per structure) — bench.py's headline protocol
-        serving = _device_loop_ms(A, B, size)
-        print(f"alg1 device-loop (serving path): {serving:.4f} ms/multiply")
+        if serving and 1 in algs:
+            # serving-path alg1 throughput (structure + densify plans
+            # hoisted per structure) — bench.py's headline protocol
+            serving_ms = _device_loop_ms(A, B, size)
+            print(f"alg1 device-loop (serving path): "
+                  f"{serving_ms:.4f} ms/multiply")
+        else:
+            serving_ms = None
         k1, k2 = _loop_iters(size, density)
         for alg in algs:
             ms, records, wall = _replay_device_ms(A, B, alg,
@@ -164,8 +168,8 @@ def run_case(size, density, runs, chunk_fraction, dtype, seed, algs,
             results.setdefault(alg, {})["device_ms"] = ms
             results[alg]["programs"] = progs
             results[alg]["one_shot_wall_s"] = wall
-        if 1 in results:
-            results[1]["serving_ms"] = serving
+        if 1 in results and serving_ms is not None:
+            results[1]["serving_ms"] = serving_ms
     for alg in algs:
         if not device_loop:
             def op(alg=alg):
@@ -193,6 +197,33 @@ def run_case(size, density, runs, chunk_fraction, dtype, seed, algs,
     return results
 
 
+def _save_grid(path, grid_cells):
+    """Merge cells into the grid JSON (incremental — called after every
+    case so a timeout/crash cannot lose completed measurements)."""
+    import os
+
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        for c in prev.get("cells", []):
+            merged[(c["size"], c["density"], c["alg"])] = c
+    for c in grid_cells:
+        key = (c["size"], c["density"], c["alg"])
+        merged.setdefault(key, {}).update(c)
+    out = {
+        "description": "SpGEMM alg-comparison grid: per-call device "
+                       "ms (memtrace replay, two-K slope, checksum "
+                       "chain) + XLA buffer-assignment peak bytes, "
+                       "vs reference cuSPARSE (BASELINE.md).",
+        "device": str(__import__("jax").devices()[0]),
+        "cells": [merged[k] for k in sorted(merged)],
+    }
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    return len(merged)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, nargs="+", default=[512, 1024])
@@ -204,6 +235,10 @@ def main(argv=None):
     p.add_argument("--algs", type=int, nargs="+", default=[1, 2, 3])
     p.add_argument("--device-loop", action="store_true",
                    help="also report alg1 device-loop throughput")
+    p.add_argument("--no-serving", action="store_true",
+                   help="with --device-loop: skip the alg1 serving-path "
+                        "loop (replay chains only — big reference-free "
+                        "cells)")
     p.add_argument("--memory", action="store_true",
                    help="also record per-alg peak HBM from XLA's buffer "
                         "assignment (the ΔPeak-VRAM column of the "
@@ -221,7 +256,7 @@ def main(argv=None):
               f"runs={args.runs} ===")
         res = run_case(size, density, args.runs, args.chunk_fraction, dtype,
                        args.seed, args.algs, device_loop=args.device_loop,
-                       memory=args.memory)
+                       memory=args.memory, serving=not args.no_serving)
         for alg, r in res.items():
             row = {
                 "bench": "alg_comparison", "size": size,
@@ -245,29 +280,10 @@ def main(argv=None):
                 print(json.dumps(row))
             grid_cells.append(row)
         profiler.cleanup_device()
-    if args.save_grid:
-        import os
-
-        merged = {}
-        if os.path.exists(args.save_grid):
-            with open(args.save_grid) as f:
-                prev = json.load(f)
-            for c in prev.get("cells", []):
-                merged[(c["size"], c["density"], c["alg"])] = c
-        for c in grid_cells:
-            key = (c["size"], c["density"], c["alg"])
-            merged.setdefault(key, {}).update(c)
-        out = {
-            "description": "SpGEMM alg-comparison grid: per-call device "
-                           "ms (memtrace replay, two-K slope, checksum "
-                           "chain) + XLA buffer-assignment peak bytes, "
-                           "vs reference cuSPARSE (BASELINE.md).",
-            "device": str(__import__("jax").devices()[0]),
-            "cells": [merged[k] for k in sorted(merged)],
-        }
-        with open(args.save_grid, "w") as f:
-            json.dump(out, f, indent=1)
-        print(f"grid saved: {args.save_grid} ({len(merged)} cells)")
+        if args.save_grid:
+            ncells = _save_grid(args.save_grid, grid_cells)
+            print(f"grid saved: {args.save_grid} ({ncells} cells)")
+            grid_cells = []
 
 
 if __name__ == "__main__":
