@@ -110,6 +110,15 @@ class SpmvRoutedPlan(NamedTuple):
     nseg: int = 0         # 2 = boundary-split y updates (<= 2 group
     #                       segments per tile guaranteed); 0 = fallback
     #                       per-sub-block updates
+    S: int = 1            # row-group stack factor: S consecutive 128-row
+    #                       groups share one lane-column band (their
+    #                       Poisson maxdeg tails POOL — slack ~2.6 -> ~1.4
+    #                       at avg degree 10); each slot's sub-row index
+    #                       rides route_tbl bits 7.. (int8 spare bit at
+    #                       S=2, int16 route at S=4) and the reduce is
+    #                       the dense-subsum + one-hot matmul split by
+    #                       sub-row ("matsum"); S == 1 is the round-3
+    #                       layout, bit-identical tables
 
 
 def _greedy_color(left, right, gr, capV, colors: int, nnz: int):
@@ -352,9 +361,12 @@ def _color_groups(gr, cls, rho, ngroups: int, m128: int, R: int, L_g):
 
 
 def spmv_routed_plan(indptr_host, indices_host, data_host,
-                     m: int, n: int) -> Optional[SpmvRoutedPlan]:
+                     m: int, n: int,
+                     stack_override: Optional[int] = None
+                     ) -> Optional[SpmvRoutedPlan]:
     """Host-side analysis: route every entry to (lane-row, sublane,
-    row-slot) coordinates; see module docstring."""
+    row-slot) coordinates; see module docstring.  `stack_override`
+    forces the row-group stack factor S (A/B probes and tests)."""
     indptr = np.asarray(indptr_host)
     indices = np.asarray(indices_host, np.int64)
     data = np.asarray(data_host)
@@ -367,36 +379,70 @@ def spmv_routed_plan(indptr_host, indices_host, data_host,
     rho = rows & 127
     ngroups = _ceil_div(m, 128)
 
-    # pick R (class replication) to balance bin skew against row degree:
-    # L_g = max(ceil(maxbin/R) [bin side], maxdeg [row side])
+    # pick (S, R) to balance bin skew against row degree:
+    # L_g = max(ceil(maxbin/R) [bin side], maxdeg [row side]) per
+    # S-stacked super-group — stacking pools both Poisson tails over S
+    # groups (max of Poisson(S·λ) ≈ S·λ + O(√(S·λ)) beats S times the
+    # single-group tail), at the cost of S sub-row masked sums in the
+    # reduce and (for S > 2) an int16 route table
     degR = np.bincount(gr * 128 + rho, minlength=ngroups * 128)
-    maxdeg = degR.reshape(ngroups, 128).max(axis=1)
     # one base bincount at m128=128; coarser candidates fold it
     # (indices % 64 bins are pairwise sums of indices % 128 bins, etc.)
     cnt128 = np.bincount(gr * 128 + indices % 128,
                          minlength=ngroups * 128).reshape(ngroups, 128)
+    G_pad_cost = _round_up(ngroups, 8)
+    stack_cands = ((1, 2, 4, 8) if stack_override is None
+                   else (int(stack_override),))
     best = None
-    for R_c in (1, 2, 4):
-        m128 = 128 // R_c
-        C_c = max(1, _ceil_div(_ceil_div(n, m128), 128))
-        if C_c > _C_MAX:
-            continue
-        maxbin = cnt128.reshape(ngroups, R_c, m128).sum(axis=1).max(axis=1)
-        L_gc = np.maximum(
-            SB, _ceil_div(np.maximum(_ceil_div(maxbin, R_c), maxdeg), SB)
-            * SB)
-        slots_c = int(L_gc.sum()) * 128
-        # per-extra-x-tile cost measured on v5e (job 101): C=3 runs at
-        # ~1.53x the per-slot cost of C=1 (each extra tile adds a
-        # lane-gather + select per product tile), so +26%/tile — the
-        # round-2 model's 3% badly under-penalised C and picked R=4/C=3
-        # plans that LOST to R=1/C=1 despite fewer slots
-        cost = slots_c * (1.0 + 0.26 * (C_c - 1))
-        if best is None or cost < best[0]:
-            best = (cost, R_c, C_c, L_gc)
+    for S_c in stack_cands:
+        nsuper = _ceil_div(ngroups, S_c)
+        pad_g = nsuper * S_c - ngroups
+        deg_s = degR.reshape(ngroups, 128)
+        cnt_s = cnt128
+        if S_c > 1:
+            if pad_g:
+                deg_s = np.concatenate(
+                    [deg_s, np.zeros((pad_g, 128), deg_s.dtype)])
+                cnt_s = np.concatenate(
+                    [cnt_s, np.zeros((pad_g, 128), cnt_s.dtype)])
+            deg_s = deg_s.reshape(nsuper, S_c, 128).sum(axis=1)
+            cnt_s = cnt_s.reshape(nsuper, S_c, 128).sum(axis=1)
+        maxdeg = deg_s.max(axis=1)
+        for R_c in (1, 2, 4):
+            m128 = 128 // R_c
+            C_c = max(1, _ceil_div(_ceil_div(n, m128), 128))
+            if C_c > _C_MAX:
+                continue
+            maxbin = cnt_s.reshape(nsuper, R_c, m128).sum(axis=1) \
+                .max(axis=1)
+            L_gc = np.maximum(
+                SB, _ceil_div(np.maximum(_ceil_div(maxbin, R_c), maxdeg),
+                              SB) * SB)
+            slots_c = int(L_gc.sum()) * 128
+            if S_c > 1:
+                # stacked plans reduce via the dense-subsum + one-hot
+                # matmul only — respect its budget
+                nsb_c = _round_up(int(L_gc.sum()), 128) // SB
+                if G_pad_cost * nsb_c * S_c > _MATSUM_MAX_ONEHOT:
+                    continue
+            # per-extra-x-tile cost measured on v5e (job 101): C=3 runs
+            # at ~1.53x the per-slot cost of C=1 (each extra tile adds a
+            # lane-gather + select per product tile), so +26%/tile — the
+            # round-2 model's 3% badly under-penalised C and picked
+            # R=4/C=3 plans that LOST to R=1/C=1 despite fewer slots.
+            # Stacking penalties: S masked sub-row sums per tile (~2%/
+            # doubling) and +1 stream byte/slot for the int16 route at
+            # S = 4 (~8%) — initial estimates, tuned on v5e
+            pen_s = {1: 1.0, 2: 1.03, 4: 1.10, 8: 1.22}.get(S_c, 1.3)
+            cost = slots_c * (1.0 + 0.26 * (C_c - 1)) * pen_s
+            if best is None or cost < best[0]:
+                best = (cost, S_c, R_c, C_c, L_gc)
     if best is None:
         return None
-    _, R, C, L_g = best
+    _, S, R, C, L_g = best
+    nsuper = _ceil_div(ngroups, S)
+    sgr = gr // S if S > 1 else gr
+    srow = gr - sgr * S
     m128 = 128 // R
     cls = indices % m128
     q = indices // m128
@@ -423,42 +469,52 @@ def spmv_routed_plan(indptr_host, indices_host, data_host,
     # tile, pad it to the tile end.  Accepted only when the added slack
     # stays under SEG_PAD_FRAC; otherwise the plan keeps the unpadded
     # budgets and the per-sub-block fallback kernel runs instead.
-    Lu = (L_g // SB).astype(np.int64)
     TU = 128 // SB
-    Lp = Lu.copy()
-    cum = 0
-    last_t = -1
-    for g in range(ngroups - 1):
-        end = cum + int(Lp[g])
-        if end % TU:
-            t = end // TU
-            if t == last_t:
-                Lp[g] += TU - end % TU
-                end = cum + int(Lp[g])
-            else:
-                last_t = t
-        cum = end
-    padded_slots = int(Lp.sum()) * SB * 128
-    if (int(Lp.sum()) <= (1.0 + SEG_PAD_FRAC) * int(Lu.sum())
-            and padded_slots <= 8 * max(nnz, 1)
-            and padded_slots <= (1 << 27)):
-        L_g = Lp * SB
+    if S == 1:
+        Lu = (L_g // SB).astype(np.int64)
+        Lp = Lu.copy()
+        cum = 0
+        last_t = -1
+        for g in range(ngroups - 1):
+            end = cum + int(Lp[g])
+            if end % TU:
+                t = end // TU
+                if t == last_t:
+                    Lp[g] += TU - end % TU
+                    end = cum + int(Lp[g])
+                else:
+                    last_t = t
+            cum = end
+        padded_slots = int(Lp.sum()) * SB * 128
+        if (int(Lp.sum()) <= (1.0 + SEG_PAD_FRAC) * int(Lu.sum())
+                and padded_slots <= 8 * max(nnz, 1)
+                and padded_slots <= (1 << 27)):
+            L_g = Lp * SB
 
-    lane_local, sub = _color_groups(gr, cls, rho, ngroups, m128, R, L_g)
+    lane_local, sub = _color_groups(sgr, cls, rho, nsuper, m128, R, L_g)
     if lane_local is None:
         return None
 
-    lane_base = np.zeros(ngroups + 1, np.int64)
+    lane_base = np.zeros(nsuper + 1, np.int64)
     np.cumsum(L_g, out=lane_base[1:])
     NL = _round_up(int(lane_base[-1]), 128)
-    nsteps1 = max(_ceil_div(NL, U1 * 128), 1)
-    NL1 = nsteps1 * U1 * 128
-    rows_per_step2 = SB * U2
-    nsteps2 = max(_ceil_div(NL, rows_per_step2), 1)
-    NL2 = nsteps2 * rows_per_step2
-    NLP = max(NL1, NL2)
+    if S == 1:
+        nsteps1 = max(_ceil_div(NL, U1 * 128), 1)
+        NL1 = nsteps1 * U1 * 128
+        rows_per_step2 = SB * U2
+        nsteps2 = max(_ceil_div(NL, rows_per_step2), 1)
+        NL2 = nsteps2 * rows_per_step2
+        NLP = max(NL1, NL2)
+    else:
+        # stacked plans run ONLY the fused matsum kernel (u1f <= 4), so
+        # the table pads to the kernel's u1f quantum, not the two-kernel
+        # path's 1024 — at small NL the 1024 quantum ate the entire
+        # pooling gain (e.g. 1250 lanes -> 2048)
+        NLP = _round_up(NL, (4 if NL > U1F_SMALL_NL else 2) * 128)
+        nsteps1 = max(_ceil_div(NLP, U1 * 128), 1)
+        nsteps2 = max(_ceil_div(NLP, SB * U2), 1)
 
-    lane = lane_base[gr] + lane_local       # global lane-row per entry
+    lane = lane_base[sgr] + lane_local      # global lane-row per entry
     tile = lane >> 7
     ll = lane & 127
 
@@ -466,48 +522,54 @@ def spmv_routed_plan(indptr_host, indices_host, data_host,
     # rows are its 128 class-sublanes, its columns the 128 lane-rows);
     # the route and VALUE tables are tile-major by LANE-ROW in routed
     # layout (row = lane-row, col = row residue) so the kernel multiplies
-    # after the permute and dead slots need no mask (val 0.0)
+    # after the permute and dead slots need no mask (val 0.0).  Stacked
+    # plans tag each slot's sub-row in route bits 7.. (dead slots tag 0,
+    # their 0.0 value makes the landing row irrelevant).
     hi_dt = np.int8 if C == 1 else np.int16
+    rt_dt = np.int8 if S <= 2 else np.int16
     hi_tbl = np.zeros((NLP * 128,), hi_dt)
     val_rt = np.zeros((NLP, 128), np.float32)
-    route = np.zeros((NLP, 128), np.int8)
+    route = np.zeros((NLP, 128), rt_dt)
     flat_g = (tile * 128 + sub) * 128 + ll
     hi_tbl[flat_g] = q.astype(hi_dt)
     val_rt[lane, rho] = data.astype(np.float32)
-    route[lane, rho] = sub.astype(np.int8)
+    route[lane, rho] = (sub | (srow << 7)).astype(rt_dt)
 
-    # group base row per SB-row sub-block (sub-blocks are group-pure:
+    # base row per SB-row sub-block (sub-blocks are (super-)group-pure:
     # all budgets are multiples of SB); dead sub-blocks (layout pad +
-    # grid tail) point at the last group and add +0.0
-    units = np.repeat(np.arange(ngroups, dtype=np.int64), L_g // SB)
-    grp = np.full(NLP // SB, ngroups - 1, np.int64)
+    # grid tail) point at the last (super-)group and add +0.0
+    units = np.repeat(np.arange(nsuper, dtype=np.int64), L_g // SB)
+    grp = np.full(NLP // SB, nsuper - 1, np.int64)
     grp[:units.size] = units
-    r0s = (grp * 128).astype(np.int32)
+    r0s = (grp * S * 128).astype(np.int32)
 
-    # per-tile packed segment word: g1 (13 bits) | g2 (13 bits) |
-    # boundary sub-block (5 bits).  Unlike round 2's encoding, g2 is
-    # explicit (not assumed g1+1), so any two-group tile packs.  The
-    # boundary-split kernel is branch-free, so it applies only when
-    # EVERY tile packs (a per-tile seg/fallback branch costs ~33% on
-    # all tiles — Mosaic predication executes both sides; measured
-    # round 3); otherwise the per-sub-block fallback kernel runs.
-    gt = grp.reshape(-1, TU)
-    nrun = 1 + (gt[:, 1:] != gt[:, :-1]).sum(axis=1)
     seg_tbl = None
     nseg = 0
-    if int(nrun.max()) <= 2 and ngroups <= 8191:
-        k_pref = TU - (gt != gt[:, :1]).sum(axis=1)
-        w = ((gt[:, 0] << 18) | (gt[:, -1] << 5)
-             | np.where(nrun == 1, TU, k_pref))
-        seg_tbl = jnp.asarray(w.astype(np.int32))
-        nseg = 2
+    if S == 1:
+        # per-tile packed segment word: g1 (13 bits) | g2 (13 bits) |
+        # boundary sub-block (5 bits).  Unlike round 2's encoding, g2 is
+        # explicit (not assumed g1+1), so any two-group tile packs.  The
+        # boundary-split kernel is branch-free, so it applies only when
+        # EVERY tile packs (a per-tile seg/fallback branch costs ~33% on
+        # all tiles — Mosaic predication executes both sides; measured
+        # round 3); otherwise the per-sub-block fallback kernel runs.
+        # Stacked plans always reduce via the sub-row-split dense-subsum
+        # + one-hot matmul instead (gated at plan selection).
+        gt = grp.reshape(-1, TU)
+        nrun = 1 + (gt[:, 1:] != gt[:, :-1]).sum(axis=1)
+        if int(nrun.max()) <= 2 and ngroups <= 8191:
+            k_pref = TU - (gt != gt[:, :1]).sum(axis=1)
+            w = ((gt[:, 0] << 18) | (gt[:, -1] << 5)
+                 | np.where(nrun == 1, TU, k_pref))
+            seg_tbl = jnp.asarray(w.astype(np.int32))
+            nseg = 2
 
     return SpmvRoutedPlan(
         m=m, n=n, NL=NLP, nsteps1=nsteps1, nsteps2=nsteps2, R=R, C=C,
         hi_tbl=jnp.asarray(hi_tbl.reshape(NLP, 128)),
         val_tbl=jnp.asarray(val_rt),
         route_tbl=jnp.asarray(route),
-        r0s=jnp.asarray(r0s), seg_tbl=seg_tbl, nseg=nseg)
+        r0s=jnp.asarray(r0s), seg_tbl=seg_tbl, nseg=nseg, S=S)
 
 
 U1F = 4          # fused-kernel tiles per grid step at large NL.
@@ -528,11 +590,13 @@ def _u1f_for(NL: int) -> int:
     return 2 if NL <= U1F_SMALL_NL else U1F
 
 
-def _routed_products(xq, hi, route_r, val_r, C: int):
+def _routed_products(xq, hi, route_r, val_r, C: int, S: int = 1):
     """Shared tile body: lane-gather x by class, transpose, route to
     (lane-row, rho), multiply by routed-layout values (dead slots 0.0 —
     no mask ops).  Bitwise equal to the round-2 multiply-then-permute
-    formulation."""
+    formulation.  Stacked plans (S > 1) carry the sub-row tag in route
+    bits 7.., masked off here (sign-extension of the int8 S=2 form is
+    two's-complement safe: (-x) & 127 == sub)."""
     idx = hi.astype(jnp.int32)
     if C > 1:
         idx = idx & 127
@@ -542,6 +606,8 @@ def _routed_products(xq, hi, route_r, val_r, C: int):
                                  axis=1)
         xv = jnp.where((hi.astype(jnp.int32) >> 7) == t, xt, xv)
     r = route_r.astype(jnp.int32)
+    if S > 1:
+        r = r & 127
     return val_r * jnp.take_along_axis(xv.T, r, axis=1)
 
 
@@ -614,7 +680,7 @@ def _fused_kernel_seg(seg_ref, hi_ref, val_ref, route_ref, xq_ref, y_ref,
 
 
 def _fused_kernel_dense(hi_ref, val_ref, route_ref, xq_ref, out_ref,
-                        *, C: int, u1f: int):
+                        *, C: int, u1f: int, S: int = 1):
     """Dense-subsum variant for plans whose tiles span >2 groups (the
     nseg == 0 regime — small plans with tiny per-group budgets): the
     16 per-sub-block masked dynamic y updates of `_fused_kernel` (the
@@ -622,16 +688,35 @@ def _fused_kernel_dense(hi_ref, val_ref, route_ref, xq_ref, out_ref,
     ONE dense (16, 128) write of the sub-block sums per tile; the
     group accumulation happens outside the kernel as a one-hot f32
     matmul (exact sums, fixed tree) — sub-block rows are group-pure,
-    so y[g] = sum of its sub-blocks' rows."""
+    so y[g] = sum of its sub-blocks' rows.
+
+    Stacked plans (S > 1): sub-blocks are SUPER-group-pure, each slot
+    tagged with its sub-row in route bits 7.. — the sub-block emits S
+    masked sums (direct per-sub-row masked reduces, NOT total-minus-
+    rest: subtraction cancels catastrophically across magnitude-skewed
+    sub-rows), row (u·S + s) of the output."""
     xq = xq_ref[...]
     for j in range(u1f):
         sl = slice(j * 128, (j + 1) * 128)
-        routed = _routed_products(xq, hi_ref[sl, :], route_ref[sl, :],
-                                  val_ref[sl, :], C)
-        sums = [jnp.sum(routed[u * SB:(u + 1) * SB, :], axis=0,
-                        keepdims=True) for u in range(128 // SB)]
-        out_ref[j * (128 // SB):(j + 1) * (128 // SB), :] = \
-            jnp.concatenate(sums, axis=0)
+        route_r = route_ref[sl, :]
+        routed = _routed_products(xq, hi_ref[sl, :], route_r,
+                                  val_ref[sl, :], C, S)
+        if S == 1:
+            sums = [jnp.sum(routed[u * SB:(u + 1) * SB, :], axis=0,
+                            keepdims=True) for u in range(128 // SB)]
+        else:
+            sbit = (route_r.astype(jnp.int32) >> 7) & (S - 1)
+            sums = []
+            for u in range(128 // SB):
+                blk = routed[u * SB:(u + 1) * SB, :]
+                sb = sbit[u * SB:(u + 1) * SB, :]
+                for s in range(S):
+                    sums.append(jnp.sum(
+                        jnp.where(sb == s, blk, 0.0), axis=0,
+                        keepdims=True))
+        nrow = (128 // SB) * S
+        out_ref[j * nrow:(j + 1) * nrow, :] = jnp.concatenate(sums,
+                                                              axis=0)
 
 
 # matsum epilogue budget: the (G_pad, NSB) one-hot must stay small next
@@ -645,7 +730,7 @@ _MATSUM_MAX_ONEHOT = 1 << 22
 def _spmv_routed_call(hi_tbl, val_tbl, route_tbl, seg, r0s, x,
                       plan_static, interpret=False, mode="auto",
                       u1f_override=None):
-    m, n, NL, nsteps1, nsteps2, R, C, nseg = plan_static
+    m, n, NL, nsteps1, nsteps2, R, C, nseg, S = plan_static
     m128 = 128 // R
     n_pad = C * 128 * m128
     xp = x.astype(jnp.float32)
@@ -656,15 +741,19 @@ def _spmv_routed_call(hi_tbl, val_tbl, route_tbl, seg, r0s, x,
 
     G_pad = _round_up(_ceil_div(m, 128), 8)
     u1f = u1f_override if u1f_override is not None else _u1f_for(NL)
+    while NL % (u1f * 128):   # stacked tables pad to a 512 quantum
+        u1f //= 2
     nstepsf = max(_ceil_div(NL, u1f * 128), 1)
     nsb = NL // SB
-    use_matsum = (mode == "matsum" or
+    use_matsum = (S > 1 or mode == "matsum" or
                   (mode == "auto" and nseg == 0
                    and G_pad * nsb <= _MATSUM_MAX_ONEHOT))
     if use_matsum:
         # dense sub-block sums + one-hot matmul group accumulation
+        # (stacked plans split each sub-block's sum by sub-row: S rows
+        # per sub-block, see _fused_kernel_dense)
         subsums = pl.pallas_call(
-            functools.partial(_fused_kernel_dense, C=C, u1f=u1f),
+            functools.partial(_fused_kernel_dense, C=C, u1f=u1f, S=S),
             grid=(nstepsf,),
             in_specs=[
                 pl.BlockSpec((u1f * 128, 128), lambda i: (i, 0)),
@@ -672,18 +761,25 @@ def _spmv_routed_call(hi_tbl, val_tbl, route_tbl, seg, r0s, x,
                 pl.BlockSpec((u1f * 128, 128), lambda i: (i, 0)),
                 pl.BlockSpec((C * 128, 128), lambda i: (0, 0)),
             ],
-            out_specs=pl.BlockSpec((u1f * (128 // SB), 128),
+            out_specs=pl.BlockSpec((u1f * (128 // SB) * S, 128),
                                    lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((nsb, 128), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((nsb * S, 128), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 2**20),
             interpret=interpret,
         )(hi_tbl, val_tbl, route_tbl, xq)
-        # r0s is the group base row per sub-block (dead sub-blocks point
-        # at the last group and contribute exact +0.0 rows); the one-hot
-        # rides the MXU — exact f32 sums in a fixed, deterministic tree
+        # r0s is the (super-)group base row per sub-block (dead
+        # sub-blocks point at the last group and contribute exact +0.0
+        # rows); the one-hot rides the MXU — exact f32 sums in a fixed,
+        # deterministic tree.  Stacked: output row (t·S + s) belongs to
+        # group (r0s[t] >> 7) + s (past-the-end groups of a ragged tail
+        # super-group match nothing — their subsums are exactly 0.0).
+        base = r0s[:nsb] >> 7
+        if S > 1:
+            base = (base[:, None]
+                    + jnp.arange(S, dtype=r0s.dtype)[None, :]).reshape(-1)
         onehot = (jnp.arange(G_pad, dtype=jnp.int32)[:, None]
-                  == (r0s[:nsb] >> 7)[None, :]).astype(jnp.float32)
+                  == base[None, :]).astype(jnp.float32)
         y = jnp.dot(onehot, subsums, precision=lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
         return y.reshape(G_pad * 128)[:m]
@@ -722,10 +818,15 @@ def spmv_routed(x, plan: SpmvRoutedPlan, interpret: bool = False,
     probes and tests): "auto" = seg2 boundary-split when the plan
     guarantees <= 2 group segments per tile, dense-subsum + one-hot
     matmul ("matsum") otherwise, legacy per-sub-block masked updates
-    ("fallback") past the matsum one-hot budget."""
+    ("fallback") past the matsum one-hot budget.  Stacked plans
+    (plan.S > 1) always reduce via the sub-row-split matsum path."""
     nseg = plan.nseg if plan.seg_tbl is not None else 0
+    S = getattr(plan, "S", 1)
+    if S > 1 and mode not in ("auto", "matsum"):
+        raise ValueError(f"stacked plans (S={S}) support only the "
+                         f"matsum reduce, not mode={mode!r}")
     ps = (plan.m, plan.n, plan.NL, plan.nsteps1, plan.nsteps2,
-          plan.R, plan.C, nseg)
+          plan.R, plan.C, nseg, S)
     seg = plan.seg_tbl if nseg == 2 else plan.r0s
     return _spmv_routed_call(plan.hi_tbl, plan.val_tbl, plan.route_tbl,
                              seg, plan.r0s, x, ps, interpret, mode,
@@ -891,12 +992,13 @@ def _fused_kernel_seg_m(seg_ref, hi_ref, valr_ref, route_ref, xq_ref,
 
 
 def _fused_kernel_dense_m(hi_ref, valr_ref, route_ref, xq_ref, out_ref,
-                          *, C: int, u1f: int):
+                          *, C: int, u1f: int, S: int = 1):
     """KB-column variant of `_fused_kernel_dense` for nseg == 0 plans:
-    dense (16, KB·128) sub-block-sum writes per tile — the z
+    dense (16·S, KB·128) sub-block-sum writes per tile — the z
     intermediate (2·KB·512 HBM bytes per lane-row, dominant at extreme
     sparsity) shrinks 8× to sub-block granularity, and the group
-    accumulation rides the one-hot MXU matmul outside."""
+    accumulation rides the one-hot MXU matmul outside.  Stacked plans
+    (S > 1) split each sub-block's sums by the route-tagged sub-row."""
     xq = xq_ref[...]
     for j in range(u1f):
         sl = slice(j * 128, (j + 1) * 128)
@@ -906,6 +1008,9 @@ def _fused_kernel_dense_m(hi_ref, valr_ref, route_ref, xq_ref, out_ref,
             idx = idx & 127
         val_r = valr_ref[sl, :]
         r = route_ref[sl, :].astype(jnp.int32)
+        if S > 1:
+            sbit1 = (r >> 7) & (S - 1)
+            r = r & 127
         cols = []
         for c in range(KB):
             base = c * C * 128
@@ -917,10 +1022,22 @@ def _fused_kernel_dense_m(hi_ref, valr_ref, route_ref, xq_ref, out_ref,
                 xv = jnp.where((hi.astype(jnp.int32) >> 7) == t, xt, xv)
             cols.append(val_r * jnp.take_along_axis(xv.T, r, axis=1))
         routed = jnp.concatenate(cols, axis=1)       # (128, KB*128)
-        sums = [jnp.sum(routed[u * SB:(u + 1) * SB, :], axis=0,
-                        keepdims=True) for u in range(128 // SB)]
-        out_ref[j * (128 // SB):(j + 1) * (128 // SB), :] = \
-            jnp.concatenate(sums, axis=0)
+        if S == 1:
+            sums = [jnp.sum(routed[u * SB:(u + 1) * SB, :], axis=0,
+                            keepdims=True) for u in range(128 // SB)]
+        else:
+            sbit = jnp.tile(sbit1, (1, KB))          # (128, KB*128)
+            sums = []
+            for u in range(128 // SB):
+                blk = routed[u * SB:(u + 1) * SB, :]
+                sb = sbit[u * SB:(u + 1) * SB, :]
+                for s in range(S):
+                    sums.append(jnp.sum(
+                        jnp.where(sb == s, blk, 0.0), axis=0,
+                        keepdims=True))
+        nrow = (128 // SB) * S
+        out_ref[j * nrow:(j + 1) * nrow, :] = jnp.concatenate(sums,
+                                                              axis=0)
 
 
 @functools.partial(memtrace.jit, static_argnames=("plan_static", "interpret"))
@@ -928,8 +1045,8 @@ def _spmm_routed_call_matsum(hi_tbl, val_tbl, route_tbl, r0s, xb,
                              plan_static, interpret=False):
     """Fused one-kernel KB-column block for nseg == 0 plans: dense
     sub-block sums + one-hot matmul (the SpMM twin of the SpMV matsum
-    path)."""
-    m, n, NL, R, C = plan_static
+    path; stacked plans split sums by sub-row, S rows per sub-block)."""
+    m, n, NL, R, C, S = plan_static
     m128 = 128 // R
     n_pad = C * 128 * m128
     xp = xb.astype(jnp.float32)
@@ -940,10 +1057,12 @@ def _spmm_routed_call_matsum(hi_tbl, val_tbl, route_tbl, r0s, xb,
                   (1, 1, R, 1)).reshape(KB * C * 128, 128)
     G_pad = _round_up(_ceil_div(m, 128), 8)
     u1f = _u1f_for(NL)
+    while NL % (u1f * 128):   # stacked tables pad to a 512 quantum
+        u1f //= 2
     nstepsf = max(_ceil_div(NL, u1f * 128), 1)
     nsb = NL // SB
     subsums = pl.pallas_call(
-        functools.partial(_fused_kernel_dense_m, C=C, u1f=u1f),
+        functools.partial(_fused_kernel_dense_m, C=C, u1f=u1f, S=S),
         grid=(nstepsf,),
         in_specs=[
             pl.BlockSpec((u1f * 128, 128), lambda i: (i, 0)),
@@ -951,14 +1070,18 @@ def _spmm_routed_call_matsum(hi_tbl, val_tbl, route_tbl, r0s, xb,
             pl.BlockSpec((u1f * 128, 128), lambda i: (i, 0)),
             pl.BlockSpec((KB * C * 128, 128), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((u1f * (128 // SB), KB * 128),
+        out_specs=pl.BlockSpec((u1f * (128 // SB) * S, KB * 128),
                                lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((nsb, KB * 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nsb * S, KB * 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
         interpret=interpret,
     )(hi_tbl, val_tbl, route_tbl, xq)
+    base = r0s[:nsb] >> 7
+    if S > 1:
+        base = (base[:, None]
+                + jnp.arange(S, dtype=r0s.dtype)[None, :]).reshape(-1)
     onehot = (jnp.arange(G_pad, dtype=jnp.int32)[:, None]
-              == (r0s[:nsb] >> 7)[None, :]).astype(jnp.float32)
+              == base[None, :]).astype(jnp.float32)
     y = jnp.dot(onehot, subsums, precision=lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
     yk = y.reshape(G_pad, KB, 128).transpose(1, 0, 2).reshape(
@@ -1016,10 +1139,12 @@ def spmm_routed(x, plan: SpmvRoutedPlan, interpret: bool = False):
     if k_pad != k:
         x = jnp.concatenate(
             [x, jnp.zeros((n, k_pad - k), x.dtype)], axis=1)
-    fused = plan.nseg == 2 and plan.seg_tbl is not None
+    S = getattr(plan, "S", 1)
+    fused = S == 1 and plan.nseg == 2 and plan.seg_tbl is not None
     G_pad = _round_up(_ceil_div(plan.m, 128), 8)
     matsum = (not fused
-              and G_pad * (plan.NL // SB) <= _MATSUM_MAX_ONEHOT)
+              and (S > 1
+                   or G_pad * (plan.NL // SB) <= _MATSUM_MAX_ONEHOT))
     outs = []
     for b in range(k_pad // KB):
         xb = x[:, b * KB:(b + 1) * KB]
@@ -1029,7 +1154,7 @@ def spmm_routed(x, plan: SpmvRoutedPlan, interpret: bool = False):
                 plan.hi_tbl, plan.val_tbl, plan.route_tbl, plan.seg_tbl,
                 xb, ps, interpret))
         elif matsum:
-            ps = (plan.m, plan.n, plan.NL, plan.R, plan.C)
+            ps = (plan.m, plan.n, plan.NL, plan.R, plan.C, S)
             outs.append(_spmm_routed_call_matsum(
                 plan.hi_tbl, plan.val_tbl, plan.route_tbl, plan.r0s,
                 xb, ps, interpret))

@@ -80,7 +80,11 @@ def csrs_txt_equal(prefix_a: str, prefix_b: str) -> bool:
 #   v2: round-3 routed seg words (g1<<18 | g2<<5 | bnd), routed value
 #       layout, int8/int16 hi tables.  A v1 plan decoded by the v2 kernel
 #       silently accumulates all prefix segments into row group 0.
-SPMV_PLAN_FORMAT_VERSION = 2
+#   v3: round-4 stacked row-groups — route_tbl carries a sub-row tag in
+#       bits 7.. when S > 1 and r0s holds SUPER-group base rows; a v2
+#       plan has no S field and an S>1 v3 plan decoded by a v2 kernel
+#       would treat tag bits as sublane indices.
+SPMV_PLAN_FORMAT_VERSION = 3
 
 
 def save_spmv_plan(path: str, plan) -> None:

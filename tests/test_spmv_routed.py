@@ -18,10 +18,11 @@ def _scipy(a):
                           np.asarray(a.indptr)), shape=a.shape)
 
 
-def _plan(a):
+def _plan(a, stack_override=None):
     m, n = a.shape
     return spmv_routed_plan(np.asarray(a.indptr), np.asarray(a.indices),
-                            np.asarray(a.data), m, n)
+                            np.asarray(a.data), m, n,
+                            stack_override=stack_override)
 
 
 @pytest.mark.parametrize("m,n,dens,seed", [
@@ -153,7 +154,9 @@ def test_spmv_routed_mode_parity(mode):
     from scipy import sparse as sp
 
     a = st.random(700, 900, 0.004, format="csr", random_state=11)
-    plan = _plan(a)
+    # the explicit seg/fallback selectors exist only for unstacked
+    # plans (stacked plans always reduce via matsum), so pin S=1
+    plan = _plan(a, stack_override=1)
     assert plan is not None
     plan = plan._replace(seg_tbl=None, nseg=0)
     x = np.random.default_rng(7).standard_normal(900).astype(np.float32)
@@ -297,3 +300,68 @@ def test_spmm_routed_large_parity():
     Y = np.asarray(spmm_routed(jnp.asarray(X), plan, interpret=True))
     ref = _scipy(a) @ X
     np.testing.assert_allclose(Y, ref, atol=4e-7 * np.abs(ref).max())
+
+
+@pytest.mark.parametrize("S", [2, 4, 8])
+def test_spmv_routed_stacked_parity(S):
+    """Stacked plans (S row-groups pooled per lane-column band, sub-row
+    tag in route bits 7..): SciPy parity through the sub-row-split
+    matsum reduce, SpMV and SpMM, including a ragged tail super-group
+    (ngroups not a multiple of S)."""
+    from scipy import sparse as sp
+
+    m, n = 1420, 1300          # 12 groups: ragged for S in {8}
+    a = st.random(m, n, 0.006, format="csr", random_state=17)
+    plan = _plan(a, stack_override=S)
+    assert plan is not None and plan.S == S
+    x = np.random.default_rng(6).standard_normal(n).astype(np.float32)
+    y = np.asarray(spmv_routed(jnp.asarray(x), plan, interpret=True))
+    A64 = sp.csr_matrix((np.asarray(a.data, np.float64),
+                         np.asarray(a.indices), np.asarray(a.indptr)),
+                        shape=a.shape)
+    ref = A64 @ x.astype(np.float64)
+    rowabs = abs(A64) @ np.abs(x.astype(np.float64)) + 1e-30
+    assert np.max(np.abs(y - ref) / rowabs) < 4e-7
+
+    from spmm_tpu.ops.kernels.spmv_routed import spmm_routed
+
+    X = np.random.default_rng(7).standard_normal((n, 6)).astype(
+        np.float32)
+    Y = np.asarray(spmm_routed(jnp.asarray(X), plan, interpret=True))
+    refM = A64 @ X.astype(np.float64)
+    rowabsM = abs(A64) @ np.abs(X.astype(np.float64)) + 1e-30
+    assert np.max(np.abs(Y - refM) / rowabsM) < 4e-7
+
+
+def test_spmv_routed_stacked_fewer_slots():
+    """The point of stacking: pooled Poisson tails need fewer slots on
+    a low-degree random matrix, and the auto plan exploits it."""
+    a = st.random(6000, 6000, 1.5e-3, format="csr", random_state=23)
+    p1 = _plan(a, stack_override=1)
+    pa = _plan(a)
+    assert p1 is not None and pa is not None
+    assert pa.S > 1
+    assert pa.NL < p1.NL
+
+
+def test_spmv_routed_stacked_deterministic():
+    """The sub-row-split masked sums + one-hot matmul remain a fixed
+    tree: bitwise-identical across calls."""
+    a = st.random(900, 900, 0.004, format="csr", random_state=29)
+    plan = _plan(a, stack_override=4)
+    assert plan is not None
+    x = jnp.asarray(
+        np.random.default_rng(9).standard_normal(900).astype(np.float32))
+    y1 = np.asarray(spmv_routed(x, plan, interpret=True))
+    y2 = np.asarray(spmv_routed(x, plan, interpret=True))
+    assert np.array_equal(y1, y2)
+
+
+def test_spmv_routed_stacked_mode_rejects():
+    """Stacked plans support only the matsum reduce."""
+    a = st.random(600, 600, 0.005, format="csr", random_state=35)
+    plan = _plan(a, stack_override=2)
+    assert plan is not None
+    x = jnp.asarray(np.zeros(600, np.float32))
+    with pytest.raises(ValueError, match="stacked plans"):
+        spmv_routed(x, plan, interpret=True, mode="seg")
