@@ -21,7 +21,10 @@ def test_ordering_at_reference_config():
 
 
 def test_chunk_fraction_scales_alg3():
-    A = st.random(256, 256, 0.3, format="csr", random_state=0)
+    # wide enough that the panel width n_b = pad128(cf·n) actually
+    # scales with cf (at n = 256 both 0.05 and 0.5 floor to one
+    # 128-column panel and the peaks are equal — correctly)
+    A = st.random(2048, 2048, 0.05, format="csr", random_state=0)
     p_small = spgemm_peak_estimate(A, A, 3, chunk_fraction=0.05)["peak_bytes"]
     p_big = spgemm_peak_estimate(A, A, 3, chunk_fraction=0.5)["peak_bytes"]
     assert p_small < p_big
