@@ -453,7 +453,8 @@ def _alg3_count(a_off, a_end, a_colv, b_off, b_end, b_rowv, b_colv,
     static_argnames=("m", "m_pad", "k", "n", "n_b", "T", "P", "Ea", "Eb",
                      "cap_blk", "cap_tile", "nnz", "precision", "safe"))
 def _alg3_compute(a_off, a_end, a_colv, a_val, b_off, b_end, b_rowv,
-                  b_colv, b_val, rowc, offs, alpha, m: int, m_pad: int,
+                  b_colv, b_val, rowc, offs, tilec, prod_off, alpha,
+                  m: int, m_pad: int,
                   k: int, n: int, n_b: int, T: int, P: int, Ea: int,
                   Eb: int, cap_blk: int, cap_tile: int, nnz: int,
                   precision: str, safe: bool = False):
@@ -467,7 +468,16 @@ def _alg3_compute(a_off, a_end, a_colv, a_val, b_off, b_end, b_rowv,
     was the scan engine's wall at 4096² (one T-element scan of
     P·cap_blk sorts is ~P· smaller per step and skips the row keys
     entirely).  `rowc`/`offs` come from the count pass, so indptr needs
-    no bincount."""
+    no bincount.
+
+    Round 4: blocks land in a FLAT production buffer at the exact
+    (t-major) offsets the count readback provides (`prod_off`), via
+    masked read-modify-write updates (a block's cap_blk padding must
+    not clobber the next tile's already-written panel-0 block — write
+    order is panel-major).  The former stacked (P, T, cap_blk)
+    keys/vals + their transposed copies measured 126.5 MB at 2048²/0.1
+    — ABOVE alg1's 80 MB, inverting the peak hierarchy the strategy
+    exists for; the flat buffer holds 8·nnz + the merge output."""
     prec = _PREC[precision]
     BIG = jnp.asarray(TILE, INDEX_DTYPE) * jnp.asarray(n, INDEX_DTYPE)
     tiny = jnp.asarray(_TINY, a_val.dtype)
@@ -494,7 +504,7 @@ def _alg3_compute(a_off, a_end, a_colv, a_val, b_off, b_end, b_rowv,
         vd = jnp.where(dm == tiny, 0, dm)
         return vd, (dm != 0).astype(jnp.bfloat16)
 
-    def panel_body(_, p):
+    def panel_body(bufs, p):
         boff = b_off[p]
         bvalid = boff + jnp.arange(Eb, dtype=INDEX_DTYPE) < b_end[p]
         bseg = jnp.where(
@@ -508,7 +518,8 @@ def _alg3_compute(a_off, a_end, a_colv, a_val, b_off, b_end, b_rowv,
         bflat = bseg * jnp.asarray(n_b, INDEX_DTYPE) + bcol
         bd, b_pat = _dense_and_pat(bflat, bval, k, n_b)
 
-        def tile_body(_, t):
+        def tile_body(bufs, t):
+            kb, vb = bufs
             aoff = a_off[t]
             avalid = aoff + jnp.arange(Ea, dtype=INDEX_DTYPE) < a_end[t]
             aseg = jnp.where(
@@ -541,25 +552,48 @@ def _alg3_compute(a_off, a_end, a_colv, a_val, b_off, b_end, b_rowv,
                 + jnp.asarray(p, INDEX_DTYPE) * jnp.asarray(
                     n_b, INDEX_DTYPE),
                 BIG)
-            return 0, (key, jnp.where(valid, val_s[:cap_blk], 0))
+            val_c = jnp.where(valid, val_s[:cap_blk], 0)
+            # masked read-modify-write at the block's exact offset:
+            # invalid lanes must preserve what is already there (the
+            # next tile's panel-0 block was written in an earlier step)
+            off = prod_off[t * P + p]
+            old_k = lax.dynamic_slice(kb, (off,), (cap_blk,))
+            old_v = lax.dynamic_slice(vb, (off,), (cap_blk,))
+            kb = lax.dynamic_update_slice(
+                kb, jnp.where(valid, key, old_k), (off,))
+            vb = lax.dynamic_update_slice(
+                vb, jnp.where(valid, val_c, old_v), (off,))
+            return (kb, vb), ()
 
-        _, out_t = lax.scan(tile_body, 0, jnp.arange(T, dtype=INDEX_DTYPE))
-        return 0, out_t
+        bufs, _ = lax.scan(tile_body, bufs,
+                           jnp.arange(T, dtype=INDEX_DTYPE))
+        return bufs, ()
 
-    _, (keys_pt, vals_pt) = lax.scan(
-        panel_body, 0, jnp.arange(P, dtype=INDEX_DTYPE))
-    keys_t = keys_pt.transpose(1, 0, 2).reshape(T, P * cap_blk)
-    vals_t = vals_pt.transpose(1, 0, 2).reshape(T, P * cap_blk)
+    # tail must cover the MERGE's cap_tile-wide dynamic slices (a
+    # cap_blk tail lets the last tile's read clamp and shift — garbage
+    # selection); cap_tile >= cap_blk always
+    keybuf = jnp.full((nnz + cap_tile,), BIG, INDEX_DTYPE)
+    pvalbuf = jnp.zeros((nnz + cap_tile,), a_val.dtype)
+    (keybuf, pvalbuf), _ = lax.scan(
+        panel_body, (keybuf, pvalbuf), jnp.arange(P, dtype=INDEX_DTYPE))
     colbuf = jnp.zeros((nnz + cap_tile,), INDEX_DTYPE)
     valbuf = jnp.zeros((nnz + cap_tile,), a_val.dtype)
 
     def merge(bufs, t):
         cb, vb = bufs
-        ks, vs = lax.sort((keys_t[t], vals_t[t]), num_keys=1,
-                          is_stable=True)
-        cols = ks[:cap_tile] % jnp.asarray(n, INDEX_DTYPE)
+        # tile t's production segment is [offs[t], offs[t] + tilec[t]);
+        # the cap_tile slice tail reads into tile t+1's segment — mask
+        # those to BIG so the sort drops them (their own merge step
+        # overwrites the junk this step writes past tilec[t])
+        ks = lax.dynamic_slice(keybuf, (offs[t],), (cap_tile,))
+        vs0 = lax.dynamic_slice(pvalbuf, (offs[t],), (cap_tile,))
+        inseg = jnp.arange(cap_tile, dtype=INDEX_DTYPE) < tilec[t]
+        ks = jnp.where(inseg, ks, BIG)
+        vs0 = jnp.where(inseg, vs0, 0)
+        ks, vs = lax.sort((ks, vs0), num_keys=1, is_stable=True)
+        cols = ks % jnp.asarray(n, INDEX_DTYPE)
         cb = lax.dynamic_update_slice(cb, cols, (offs[t],))
-        vb = lax.dynamic_update_slice(vb, vs[:cap_tile], (offs[t],))
+        vb = lax.dynamic_update_slice(vb, vs, (offs[t],))
         return (cb, vb), ()
 
     (colbuf, valbuf), _ = lax.scan(
@@ -744,7 +778,12 @@ def _alg3_compute_unrolled(a_indptr_pad, a_indices, a_data, b_ip_panels,
 # compiles in bounded time; past either bound the device-sized scan-v2
 # keeps the field covered
 _SCAN3_MAX_TILES = 32
-_SCAN3_MAX_PRODUCTS = int(3e7)
+# scan3's host planning runs a scipy structural product (touches every
+# product once, ~30-60M products/s) + an nnz_c lexsort, cached per
+# structure like every plan cost here; 1.5e8 keeps it under ~5 s.  The
+# round-3 3e7 gate left 2048²/0.1 (86M products) on scan2, whose
+# stacked intermediates peaked ABOVE alg1 (126.5 vs 80 MB on v5e).
+_SCAN3_MAX_PRODUCTS = int(1.5e8)
 
 
 def _alg3_rank(a, b, n_b: int, T: int, n: int):
@@ -1115,13 +1154,20 @@ def spgemm_alg3_blocked(a, b, alpha, chunk_fraction: float,
     tilec_h = blockc_h.sum(axis=0)  # per-tile output totals
     cap_tile = max(_round_up(int(tilec_h.max()), 8), 8)
     offs = np.concatenate([[0], np.cumsum(tilec_h)]).astype(np.int32)
+    # t-major exact production offsets: block (t, p) writes at
+    # prod_off[t*P + p] in the flat buffer (offs[t] == prod_off[t*P])
+    prod_off_h = np.zeros(T * P + 1, np.int64)
+    np.cumsum(blockc_h.T.reshape(-1), out=prod_off_h[1:])
+    prod_off = jnp.asarray(prod_off_h[:-1].astype(np.int32))
     # the marked single-scatter densify needs the collision guard (an
     # input legitimately storing +TINY) — one host check per call
     safe = bool(np.any(np.asarray(a.data) == np.float32(_TINY))
                 or np.any(np.asarray(b.data) == np.float32(_TINY)))
     indptr, cols, vals = _alg3_compute(
         a_off, a_end_d, a_flat, a_val, b_off, b_end_d, b_rows, b_colw,
-        b_vals, rowc, jnp.asarray(offs), jnp.asarray(alpha, a.dtype),
+        b_vals, rowc, jnp.asarray(offs),
+        jnp.asarray(tilec_h.astype(np.int32)), prod_off,
+        jnp.asarray(alpha, a.dtype),
         m, m_pad, k, n, n_b, T, P, Ea, Eb, cap_blk, cap_tile, nnz,
         precision, safe)
     return CSR.from_parts(indptr, cols, vals, (m, n), canonical=True)

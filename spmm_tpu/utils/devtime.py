@@ -74,24 +74,27 @@ def _checksum(leaves, chk):
     return chk
 
 
-def _pick_perturb_leaf(leaves) -> Optional[int]:
-    """Index of the input leaf to perturb: the SMALLEST float jax.Array
-    (the perturbing add costs one stream of that leaf per iteration, so
-    a big table would distort the measurement), else the smallest int
-    jax.Array.  Static arguments are plain Python values / hashables,
-    never jax.Array — so the chosen leaf is always a dynamic argument."""
-    best = None
-    fallback = None
+def _pick_perturb_leaves(leaves) -> list:
+    """Indices of the input leaves to perturb: EVERY float jax.Array
+    (else every int jax.Array).  Perturbing a single small leaf is not
+    enough — when only a scalar alpha depended on the checksum, XLA's
+    loop-invariant code motion hoisted the entire densify+matmul chain
+    out of the replay scan and the 2048² alg1 cell read 0.05 ms (round
+    4, job 008).  The perturbing add costs one elementwise pass over
+    each float input per iteration — the pipeline already reads each of
+    them at least once, so the distortion is bounded by ~1 extra input
+    stream.  Static arguments are plain Python values / hashables,
+    never jax.Array — so chosen leaves are always dynamic arguments."""
+    floats = []
+    ints = []
     for i, x in enumerate(leaves):
         if not isinstance(x, jax.Array) or x.size == 0:
             continue
         if jnp.issubdtype(x.dtype, jnp.inexact):
-            if best is None or x.size < leaves[best].size:
-                best = i
+            floats.append(i)
         elif jnp.issubdtype(x.dtype, jnp.integer):
-            if fallback is None or x.size < leaves[fallback].size:
-                fallback = i
-    return best if best is not None else fallback
+            ints.append(i)
+    return floats if floats else ints
 
 
 def _perturbed(x, chk):
@@ -108,13 +111,13 @@ def replay_step(records: Sequence[memtrace.ProgramRecord]):
     preps = []
     for rec in records:
         leaves, treedef = jax.tree_util.tree_flatten((rec.args, rec.kwargs))
-        idx = _pick_perturb_leaf(leaves)
-        preps.append((rec, leaves, treedef, idx))
+        idxs = _pick_perturb_leaves(leaves)
+        preps.append((rec, leaves, treedef, idxs))
 
     def step(chk):
-        for rec, leaves, treedef, idx in preps:
+        for rec, leaves, treedef, idxs in preps:
             lv = list(leaves)
-            if idx is not None:
+            for idx in idxs:
                 lv[idx] = _perturbed(lv[idx], chk)
             args, kwargs = jax.tree_util.tree_unflatten(treedef, lv)
             out = rec.jitted(*args, **kwargs)

@@ -415,3 +415,24 @@ def test_alg2_esc_joined_scipy_parity():
     np.testing.assert_array_equal(np.asarray(C.indptr), Cs.indptr)
     np.testing.assert_array_equal(np.asarray(C.indices), Cs.indices)
     np.testing.assert_allclose(np.asarray(C.data), Cs.data, rtol=1e-6)
+
+
+def test_alg3_blocked_three_engines_bitwise():
+    """unrolled / scan3 / scan2 forced explicitly over the same inputs:
+    bitwise-identical CSR outputs (structure AND values).  Guards the
+    round-4 scan2 assembly rework (flat production buffer at exact
+    t-major offsets) against any reordering of the merge inputs."""
+    from spmm_tpu.ops.spgemm_blocked import spgemm_alg3_blocked
+
+    A, B, _, _ = make_pair(300, 200, 260, 0.1, 0.1)
+    for cf in (0.2, 0.6):
+        outs = [spgemm_alg3_blocked(A, B, 1.0, cf, engine=e)
+                for e in ("unrolled", "scan3", "scan2")]
+        for C2 in outs[1:]:
+            np.testing.assert_array_equal(np.asarray(outs[0].indptr),
+                                          np.asarray(C2.indptr))
+            np.testing.assert_array_equal(np.asarray(outs[0].indices),
+                                          np.asarray(C2.indices))
+            np.testing.assert_array_equal(
+                np.asarray(outs[0].data).view(np.uint32),
+                np.asarray(C2.data).view(np.uint32))
