@@ -43,13 +43,19 @@ as spmv_binned.
 
 Slack: the padded-slot count is L_g = max over the group of (class bin
 size / R, row degree), rounded to the row-block granularity — BOTH
-~3-sigma Poisson tails on random matrices (~1.44 slots/nnz), and
-measured throughput scales exactly with 1/slots (v5e job 101).
-Reducing it is an open lead: same-group spill sections provably cannot
-help (the worst row still needs maxdeg lanes total) and per-tile
-seg/fallback branching costs ~33% everywhere (Mosaic predication) —
-see CLAUDE.md.  Plans with pathological skew return None and callers
-fall back to spmv_binned.
+~3-sigma Poisson tails on random matrices, and measured throughput
+scales exactly with 1/slots (v5e job 101).  Round 4 added GROUP
+STACKING (plan field S): S consecutive 128-row groups share one
+lane-column band and the coloring runs on the POOLED multigraph, so
+the per-group tail shrinks ~1/sqrt(S) — slots/nnz 2.62 → 1.64 at
+avg degree 10 (10k²/1e-3, S=8 → 23 Gnnz/s, was 13.3) and 1.44 → 1.25
+at 1M nnz (S=2, the auto cost model's pick).  Same-group spill
+sections provably cannot help (the worst row still needs maxdeg lanes
+total) and per-tile seg/fallback branching costs ~33% everywhere
+(Mosaic predication) — see CLAUDE.md; stacking is the move that works
+because it relaxes the GROUP quantum rather than capping budgets.
+Plans with pathological skew return None and callers fall back to
+spmv_binned.
 """
 
 from __future__ import annotations

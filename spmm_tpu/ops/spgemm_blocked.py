@@ -778,12 +778,14 @@ def _alg3_compute_unrolled(a_indptr_pad, a_indices, a_data, b_ip_panels,
 # compiles in bounded time; past either bound the device-sized scan-v2
 # keeps the field covered
 _SCAN3_MAX_TILES = 32
-# scan3's host planning runs a scipy structural product (touches every
-# product once, ~30-60M products/s) + an nnz_c lexsort, cached per
-# structure like every plan cost here; 1.5e8 keeps it under ~5 s.  The
-# round-3 3e7 gate left 2048²/0.1 (86M products) on scan2, whose
-# stacked intermediates peaked ABOVE alg1 (126.5 vs 80 MB on v5e).
-_SCAN3_MAX_PRODUCTS = int(1.5e8)
+# scan3's host planning runs a scipy structural product + an nnz_c
+# lexsort, cached per structure like every plan cost here — measured
+# 6.7 s at 2.1G products (2048²/0.5).  The round-3 3e7 gate left
+# 2048²/0.1 (86M products) on scan2, whose stacked intermediates
+# peaked ABOVE alg1 (126.5 vs 80 MB on v5e) and whose XLA-scatter
+# A-tile re-densifies cost ~50 ms at 2048²/0.5 (scan2 102 ms total vs
+# scan2's own one-shot wall of 70 s — scan3 wins one-shot AND steady).
+_SCAN3_MAX_PRODUCTS = int(2.5e9)
 
 
 def _alg3_rank(a, b, n_b: int, T: int, n: int):

@@ -70,7 +70,10 @@ def alg2_blocked_peak_bytes(m: int, k: int, n: int, nnz_a: int,
     dense_b = 6 * k * n_pad                 # f32 values + bf16 pattern
     out = 16 * nnz_c + 4 * (m + 1)          # cols+vals, in+out copies
     tile_ws = 18 * _TILE * n_pad            # ct + counts + mask + extract
-    return inputs + dense_b + out + tile_ws
+    # ×1.3: XLA scheduling overlap measured on the v5e 512/1024 grid
+    # (round-4 job 021) — structural terms alone sit −7..−41% under the
+    # buffer-assignment peak; calibrated band is ±23%
+    return int(1.3 * (inputs + dense_b + out + tile_ws))
 
 
 def alg3_blocked_peak_bytes(m: int, k: int, n: int, nnz_a: int,
@@ -88,7 +91,9 @@ def alg3_blocked_peak_bytes(m: int, k: int, n: int, nnz_a: int,
     a_tile = 6 * _TILE * k
     prod_ws = 9 * _TILE * n_b               # ct + counts + mask
     out = 12 * nnz_c + 4 * (m + 1)          # cols arg + vals in+out
-    return inputs + panel_b + a_tile + prod_ws + out
+    # ×1.85: XLA scheduling overlap, calibrated on the v5e 512/1024
+    # grid (round-4 job 021) — lands within ±4% on all four cells
+    return int(1.85 * (inputs + panel_b + a_tile + prod_ws + out))
 
 
 def spgemm_sharded_peak_bytes(m: int, k: int, n: int, nnz_a: int,
