@@ -728,6 +728,52 @@ def _fused_kernel_dense(hi_ref, val_ref, route_ref, xq_ref, out_ref,
 # matsum epilogue budget: the (G_pad, NSB) one-hot must stay small next
 # to the table stream; past this, the legacy masked-update kernel runs
 _MATSUM_MAX_ONEHOT = 1 << 22
+# fused-epilogue gate: the (G_pad, 128) f32 y accumulator must fit VMEM
+# comfortably next to the streamed table blocks
+_MATSUM_FUSED_MAX_GPAD = 1024
+
+
+def _fused_kernel_dense_y(hi_ref, val_ref, route_ref, oh_ref, xq_ref,
+                          y_ref, *, C: int, u1f: int, S: int):
+    """`_fused_kernel_dense` with the one-hot group-accumulation matmul
+    fused in: each grid step contracts its (G_pad, u1f·16·S) one-hot
+    slice against the step's sub-block sums on the MXU and accumulates
+    into a resident (G_pad, 128) VMEM y — the separate XLA epilogue
+    (one-hot build + dot + reshape) cost ~25% of the whole call at
+    100k-nnz plans.  Per-step partial dots sum in a fixed order —
+    deterministic per plan (a different tree than the unfused matsum,
+    so not bitwise-comparable to it, same accuracy class)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    xq = xq_ref[...]
+    step_rows = []
+    for j in range(u1f):
+        sl = slice(j * 128, (j + 1) * 128)
+        route_r = route_ref[sl, :]
+        routed = _routed_products(xq, hi_ref[sl, :], route_r,
+                                  val_ref[sl, :], C, S)
+        if S == 1:
+            sums = [jnp.sum(routed[u * SB:(u + 1) * SB, :], axis=0,
+                            keepdims=True) for u in range(128 // SB)]
+        else:
+            sbit = (route_r.astype(jnp.int32) >> 7) & (S - 1)
+            sums = []
+            for u in range(128 // SB):
+                blk = routed[u * SB:(u + 1) * SB, :]
+                sb = sbit[u * SB:(u + 1) * SB, :]
+                for s in range(S):
+                    sums.append(jnp.sum(
+                        jnp.where(sb == s, blk, 0.0), axis=0,
+                        keepdims=True))
+        step_rows.extend(sums)
+    sub = jnp.concatenate(step_rows, axis=0)   # (u1f*16*S, 128)
+    y_ref[...] += jnp.dot(oh_ref[...], sub,
+                          precision=lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
 
 
 @functools.partial(memtrace.jit,
@@ -751,13 +797,49 @@ def _spmv_routed_call(hi_tbl, val_tbl, route_tbl, seg, r0s, x,
         u1f //= 2
     nstepsf = max(_ceil_div(NL, u1f * 128), 1)
     nsb = NL // SB
-    use_matsum = (S > 1 or mode == "matsum" or
+    use_matsum = (S > 1 or mode in ("matsum", "matsum_unfused") or
                   (mode == "auto" and nseg == 0
                    and G_pad * nsb <= _MATSUM_MAX_ONEHOT))
     if use_matsum:
         # dense sub-block sums + one-hot matmul group accumulation
         # (stacked plans split each sub-block's sum by sub-row: S rows
-        # per sub-block, see _fused_kernel_dense)
+        # per sub-block, see _fused_kernel_dense).
+        # r0s is the (super-)group base row per sub-block (dead
+        # sub-blocks point at the last group and contribute exact +0.0
+        # rows); the one-hot rides the MXU — exact f32 sums in a fixed,
+        # deterministic tree.  Stacked: output row (t·S + s) belongs to
+        # group (r0s[t] >> 7) + s (past-the-end groups of a ragged tail
+        # super-group match nothing — their subsums are exactly 0.0).
+        base = r0s[:nsb] >> 7
+        if S > 1:
+            base = (base[:, None]
+                    + jnp.arange(S, dtype=r0s.dtype)[None, :]).reshape(-1)
+        onehot = (jnp.arange(G_pad, dtype=jnp.int32)[:, None]
+                  == base[None, :]).astype(jnp.float32)
+        if G_pad <= _MATSUM_FUSED_MAX_GPAD and mode != "matsum_unfused":
+            # one kernel: the per-step one-hot contraction accumulates
+            # into a resident VMEM y (the separate epilogue cost ~25%
+            # of the call at 100k-nnz plans)
+            nrow = u1f * (128 // SB) * S
+            y = pl.pallas_call(
+                functools.partial(_fused_kernel_dense_y, C=C, u1f=u1f,
+                                  S=S),
+                grid=(nstepsf,),
+                in_specs=[
+                    pl.BlockSpec((u1f * 128, 128), lambda i: (i, 0)),
+                    pl.BlockSpec((u1f * 128, 128), lambda i: (i, 0)),
+                    pl.BlockSpec((u1f * 128, 128), lambda i: (i, 0)),
+                    pl.BlockSpec((G_pad, nrow), lambda i: (0, i)),
+                    pl.BlockSpec((C * 128, 128), lambda i: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec((G_pad, 128), lambda i: (0, 0)),
+                out_shape=jax.ShapeDtypeStruct((G_pad, 128),
+                                               jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=64 * 2**20),
+                interpret=interpret,
+            )(hi_tbl, val_tbl, route_tbl, onehot, xq)
+            return y.reshape(G_pad * 128)[:m]
         subsums = pl.pallas_call(
             functools.partial(_fused_kernel_dense, C=C, u1f=u1f, S=S),
             grid=(nstepsf,),
@@ -774,18 +856,6 @@ def _spmv_routed_call(hi_tbl, val_tbl, route_tbl, seg, r0s, x,
                 vmem_limit_bytes=64 * 2**20),
             interpret=interpret,
         )(hi_tbl, val_tbl, route_tbl, xq)
-        # r0s is the (super-)group base row per sub-block (dead
-        # sub-blocks point at the last group and contribute exact +0.0
-        # rows); the one-hot rides the MXU — exact f32 sums in a fixed,
-        # deterministic tree.  Stacked: output row (t·S + s) belongs to
-        # group (r0s[t] >> 7) + s (past-the-end groups of a ragged tail
-        # super-group match nothing — their subsums are exactly 0.0).
-        base = r0s[:nsb] >> 7
-        if S > 1:
-            base = (base[:, None]
-                    + jnp.arange(S, dtype=r0s.dtype)[None, :]).reshape(-1)
-        onehot = (jnp.arange(G_pad, dtype=jnp.int32)[:, None]
-                  == base[None, :]).astype(jnp.float32)
         y = jnp.dot(onehot, subsums, precision=lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
         return y.reshape(G_pad * 128)[:m]
@@ -828,7 +898,7 @@ def spmv_routed(x, plan: SpmvRoutedPlan, interpret: bool = False,
     (plan.S > 1) always reduce via the sub-row-split matsum path."""
     nseg = plan.nseg if plan.seg_tbl is not None else 0
     S = getattr(plan, "S", 1)
-    if S > 1 and mode not in ("auto", "matsum"):
+    if S > 1 and mode not in ("auto", "matsum", "matsum_unfused"):
         raise ValueError(f"stacked plans (S={S}) support only the "
                          f"matsum reduce, not mode={mode!r}")
     ps = (plan.m, plan.n, plan.NL, plan.nsteps1, plan.nsteps2,
