@@ -130,14 +130,11 @@ def main():
     # plans and all structure work recomputed every call (the honest
     # per-call figure VERDICT r2 weak-6 asked to carry alongside)
     med_full = measure((None, None))
-    out = {
-        "metric": "spgemm_csr_n1024_d0.1_median_ms",
-        "value": round(med, 4),
-        "unit": "ms",
-        "vs_baseline": round(BASELINE_MS / med, 3),
-        "full_pipeline_ms": round(med_full, 4),
-        "full_pipeline_vs_baseline": round(BASELINE_MS / med_full, 3),
-    }
+    # Key order matters: the driver's capture keeps the TAIL of the line,
+    # so the grid attachment goes FIRST and the headline fields
+    # (metric/value/unit/vs_baseline) go LAST — they must survive any
+    # front-truncation (VERDICT r4 weak-6: round-4's capture lost them).
+    out = {}
     # attach the committed in-round alg-comparison grid (measured by
     # benchmarks/alg_comparison.py on real hardware under the same slope
     # protocol) so BENCH_rN carries the full trade-off, not just the
@@ -147,6 +144,14 @@ def main():
     if os.path.exists(grid_path):
         with open(grid_path) as f:
             out["grid"] = json.load(f)
+    out.update({
+        "full_pipeline_ms": round(med_full, 4),
+        "full_pipeline_vs_baseline": round(BASELINE_MS / med_full, 3),
+        "metric": "spgemm_csr_n1024_d0.1_median_ms",
+        "value": round(med, 4),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / med, 3),
+    })
     print(json.dumps(out))
 
 

@@ -22,7 +22,9 @@ def main():
     p.add_argument("--density", type=float, default=0.1)
     p.add_argument("--highs", type=float, nargs="+",
                    default=[1, 10, 100, 1000, 10000])
-    p.add_argument("--repeats", type=int, default=30)
+    # 300 repeats = the reference's protocol (range.py:18-60); use
+    # --repeats to cut for quick runs
+    p.add_argument("--repeats", type=int, default=300)
     p.add_argument("--chunk-fraction", type=float, default=0.3)
     p.add_argument("--out", default="error_vs_range.png")
     p.add_argument("--no-plot", action="store_true")

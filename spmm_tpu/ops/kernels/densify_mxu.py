@@ -15,6 +15,14 @@ no duplicates), so the MXU's bf16x3 passes reproduce the fp32 value exactly
 Grid: one program per H-row stripe; entry chunks stream through VMEM via
 async DMA with dynamic starts taken from scalar-prefetched stripe offsets
 (indptr[::H]), so no host-side grouping and no per-matrix recompilation.
+
+STATUS — measured-alternative lab kernel, not wired into the pipeline.
+The per-block `densify_onehot` variant won in-pipeline (0.157 ms vs this
+kernel's stripe-streamed form at the 1024^2/0.1 cell; see CLAUDE.md perf
+facts) and owns the production path.  This module is kept, with its test
+(tests/test_densify_mxu.py), as the reference implementation of the
+DMA-streamed variant for future revisits — delete it only together with
+that test.
 """
 
 from __future__ import annotations

@@ -397,6 +397,11 @@ def spmv_routed_plan(indptr_host, indices_host, data_host,
     cnt128 = np.bincount(gr * 128 + indices % 128,
                          minlength=ngroups * 128).reshape(ngroups, 128)
     G_pad_cost = _round_up(ngroups, 8)
+    if stack_override is not None and int(stack_override) not in (1, 2, 4, 8):
+        # correctness requires a power-of-two S: the sub-row tag decode
+        # `(r >> 7) & (S - 1)` mis-extracts for S = 3, 6, ... silently
+        raise ValueError(f"stack_override must be one of (1, 2, 4, 8), "
+                         f"got {stack_override}")
     stack_cands = ((1, 2, 4, 8) if stack_override is None
                    else (int(stack_override),))
     best = None

@@ -272,6 +272,102 @@ class SparseMatrix:
             raise ValueError("minimum with negative scalar densifies")
         return self._with_data(jnp.minimum(self.data, s))
 
+    # -- elementwise extrema & comparisons (reference container surface:
+    # -- test_csr.py TestCsrMatrixMaximumMinimum / TestCsrMatrixComparison;
+    # -- cupy sparse supports row/col broadcasting that scipy lacks) -------
+
+    def _ewise_dense(self, other, np_op, dense_result):
+        """Shared machinery for maximum/minimum/comparisons with a
+        non-zero-preserving or broadcasting rhs.
+
+        These are API-surface ops, not compute-path ops — evaluated on the
+        host dense form (m x n), then re-sparsified unless `dense_result`
+        (zero background maps to nonzero/True, or the rhs was dense — the
+        reference returns dense there too).  Shape rules follow the
+        reference: exact match, or (1, n) / (m, 1) broadcast; anything
+        else raises ValueError."""
+        m, n = self.shape
+        a = np.asarray(self.toarray())
+        if issparse(other):
+            b = np.asarray(other.toarray())
+        elif np.ndim(other) == 0:
+            b = other
+        else:
+            b = np.asarray(other)
+            if b.ndim == 1:
+                b = b[None, :]
+        if np.ndim(b) == 2 and b.shape != (m, n) \
+                and b.shape != (1, n) and b.shape != (m, 1):
+            raise ValueError(f"inconsistent shapes: {self.shape} vs "
+                             f"{b.shape}")
+        res = np.broadcast_to(np_op(a, b), (m, n))
+        if dense_result:
+            return jnp.asarray(res)
+        from spmm_tpu.sparse.coo import COO
+
+        ri, ci = np.nonzero(res)
+        return COO((res[ri, ci], (ri, ci)), shape=(m, n)).tocsr()
+
+    def _extremum(self, other, jnp_op, np_op):
+        if np.ndim(other) == 0 and not issparse(other):
+            if np_op(np.zeros(1), other)[0] == 0:
+                # zero-preserving scalar: stays sparse, data-only op
+                return self._with_data(jnp_op(self.data, other))
+            return self._ewise_dense(other, np_op, dense_result=True)
+        return self._ewise_dense(other, np_op,
+                                 dense_result=not issparse(other))
+
+    def maximum(self, other):
+        """Element-wise maximum (sparse / dense / scalar rhs, with (1, n)
+        and (m, 1) broadcasting like the reference's cupyx containers).
+        A positive scalar or dense rhs returns a dense array."""
+        return self._extremum(other, jnp.maximum, np.maximum)
+
+    def minimum(self, other):
+        """Element-wise minimum (see `maximum`)."""
+        return self._extremum(other, jnp.minimum, np.minimum)
+
+    def _comparison(self, other, np_op, op_name):
+        import warnings
+
+        if np.ndim(other) == 0 and not issparse(other):
+            zero_true = bool(np_op(np.zeros(1), other)[0])
+        else:
+            zero_true = bool(np_op(np.zeros(1), np.zeros(1))[0])
+        if zero_true:
+            warnings.warn(
+                f"comparing a sparse matrix with {op_name} is inefficient "
+                "(the zero background compares True)", stacklevel=3)
+        dense_result = zero_true or (
+            not issparse(other) and np.ndim(other) != 0)
+        return self._ewise_dense(other, np_op, dense_result)
+
+    def __eq__(self, other):
+        if other is None:
+            return False
+        return self._comparison(other, np.equal, "==")
+
+    def __ne__(self, other):
+        if other is None:
+            return True
+        return self._comparison(other, np.not_equal, "!=")
+
+    def __lt__(self, other):
+        return self._comparison(other, np.less, "<")
+
+    def __gt__(self, other):
+        return self._comparison(other, np.greater, ">")
+
+    def __le__(self, other):
+        return self._comparison(other, np.less_equal, "<=")
+
+    def __ge__(self, other):
+        return self._comparison(other, np.greater_equal, ">=")
+
+    # defining __eq__ clears the default __hash__; containers keep
+    # identity hashing (they are pytree nodes, not value-hashable keys)
+    __hash__ = object.__hash__
+
     @property
     def real(self):
         return self._with_data(jnp.real(self.data))

@@ -210,6 +210,38 @@ class CSR(SparseMatrix):
 
         indexing.csr_setitem(self, key, value)
 
+    def getcol(self, j: int) -> "CSR":
+        """Column j as an (m, 1) CSR (reference test_csr.py `test_getcol`
+        semantics)."""
+        return self[:, int(j) % self._shape[1]]
+
+    def setdiag(self, values, k: int = 0):
+        """Write `values` along diagonal k in place (scipy/reference
+        `setdiag` semantics: scalar broadcasts over the whole diagonal;
+        an array shorter than the diagonal writes only its length; longer
+        is truncated; k <= -m or k >= n raises ValueError).  Explicit
+        zeros are stored, like assignment."""
+        import numpy as _np
+
+        m, n = self._shape
+        if k <= -m or k >= n:
+            raise ValueError(f"k ({k}) exceeds matrix dimensions")
+        from spmm_tpu.sparse import indexing
+
+        m_st, n_st = max(0, -k), max(0, k)
+        dlen = min(m - m_st, n - n_st)
+        vals = _np.asarray(values)
+        if vals.ndim == 0:
+            L = dlen
+            vals = _np.broadcast_to(vals, (L,))
+        else:
+            L = min(dlen, vals.shape[0])
+            vals = vals[:L]
+        rows = m_st + _np.arange(L, dtype=_np.int64)
+        cols = n_st + _np.arange(L, dtype=_np.int64)
+        indexing._assign_entries(self, rows, cols,
+                                 vals.astype(_np.asarray(self.data).dtype))
+
     def diagonal(self, k: int = 0):
         coo = self.tocoo()
         m, n = self._shape

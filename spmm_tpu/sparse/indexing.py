@@ -102,6 +102,40 @@ def _getcols_array(a, cols):
                shape=(a.shape[0], len(cols))).tocsr()
 
 
+def _lookup_pairs(a, rows, cols):
+    """Value lookup for flat (row, col) position arrays against the
+    canonical entry keys.  Returns (values, hit_mask) — one searchsorted
+    over row*n+col keys, no per-pair host loop."""
+    a = a.sum_duplicates()
+    ix = np.asarray(a.indices, np.int64)
+    dv = np.asarray(a.data)
+    n = a.shape[1]
+    ekeys = np.asarray(a.rows, np.int64) * n + ix  # ascending (canonical)
+    pkeys = np.asarray(rows, np.int64) * n + np.asarray(cols, np.int64)
+    pos = np.searchsorted(ekeys, pkeys)
+    posc = np.minimum(pos, max(ekeys.shape[0] - 1, 0))
+    hit = (ekeys.shape[0] > 0) & (ekeys[posc] == pkeys)
+    vals = np.where(hit, dv[posc], 0).astype(dv.dtype)
+    return vals, hit
+
+
+def _get_mesh(a, ri, cj):
+    """2-D fancy mesh `A[ri, cj]` with broadcastable index arrays (e.g.
+    `A[np.ix_(rows, cols)]` / `A[rows[:, None], cols]`) → sparse submatrix
+    of the broadcast shape (reference `_index.py` _major_index_fancy +
+    _minor_index_fancy composition; SciPy mesh semantics).  Stored-entry
+    pattern is preserved (explicit zeros survive); positions absent from
+    A are absent from the result."""
+    from spmm_tpu.sparse.coo import COO
+
+    ri, cj = np.broadcast_arrays(np.asarray(ri, np.int64),
+                                 np.asarray(cj, np.int64))
+    shape = ri.shape
+    vals, hit = _lookup_pairs(a, ri.ravel(), cj.ravel())
+    out_i, out_j = np.unravel_index(np.nonzero(hit)[0], shape)
+    return COO((vals[hit], (out_i, out_j)), shape=shape).tocsr()
+
+
 def _get_pairs(a, rows, cols):
     """A[rows, cols] pair extraction → dense (1, N) row vector (SciPy's
     matrix semantics for paired fancy indexing).  One searchsorted over
@@ -110,16 +144,7 @@ def _get_pairs(a, rows, cols):
     cols = np.asarray(cols, np.int64).ravel()
     if rows.shape != cols.shape:
         raise IndexError("row and column index arrays must match in length")
-    a = a.sum_duplicates()
-    ix = np.asarray(a.indices, np.int64)
-    dv = np.asarray(a.data)
-    n = a.shape[1]
-    ekeys = np.asarray(a.rows, np.int64) * n + ix  # ascending (canonical)
-    pkeys = rows * n + cols
-    pos = np.searchsorted(ekeys, pkeys)
-    posc = np.minimum(pos, max(ekeys.shape[0] - 1, 0))
-    hit = (ekeys.shape[0] > 0) & (ekeys[posc] == pkeys)
-    out = np.where(hit, dv[posc], 0).astype(dv.dtype)
+    out, _ = _lookup_pairs(a, rows, cols)
     return jnp.asarray(out)[None, :]
 
 
@@ -156,14 +181,23 @@ def csr_getitem(a, key):
             return _getitem_element(a, int(ik) % m, int(jk) % n)
         arr_i = isinstance(ik, (list, np.ndarray, jnp.ndarray))
         arr_j = isinstance(jk, (list, np.ndarray, jnp.ndarray))
-        if arr_i and arr_j:
+        if (arr_i or int_i) and (arr_j or int_j):
+            # array-valued on both axes: SciPy broadcast-pair semantics
+            # (1-D → (1, N) pair vector) or 2-D fancy mesh (np.ix_ /
+            # rows[:, None]-style → sparse submatrix of the broadcast
+            # shape).  Reference `_index.py:294-324` __getitem__ array x
+            # array dispatch.
             ri = np.asarray(ik)
             cj = np.asarray(jk)
             if ri.dtype == np.bool_:
                 ri = np.nonzero(ri)[0]
             if cj.dtype == np.bool_:
                 cj = np.nonzero(cj)[0]
-            return _get_pairs(a, ri % m, cj % n)
+            ri = ri % m
+            cj = cj % n
+            if ri.ndim > 1 or cj.ndim > 1:
+                return _get_mesh(a, ri, cj)
+            return _get_pairs(a, *np.broadcast_arrays(ri, cj))
         if isinstance(ik, slice) and ik == slice(None):
             if isinstance(jk, slice):
                 j0, j1, step = jk.indices(n)
@@ -186,6 +220,12 @@ def csr_getitem(a, key):
         if (arr_i or isinstance(ik, slice)) and isinstance(jk, slice) \
                 and jk == slice(None):
             return csr_getitem(a, ik)
+        if (arr_i or isinstance(ik, slice)) and (
+                arr_j or int_j or isinstance(jk, slice)):
+            # general outer indexing (row-key x col-key): select rows,
+            # then columns on the row submatrix
+            sub = csr_getitem(a, ik)
+            return csr_getitem(sub, (slice(None), jk))
         raise NotImplementedError(f"unsupported index {key!r}")
     if isinstance(key, (int, np.integer)):
         i = int(key) % m
@@ -202,13 +242,15 @@ def csr_getitem(a, key):
     raise NotImplementedError(f"unsupported index {key!r}")
 
 
-def _assign_entries(a, new_rows, new_cols, new_vals, clear_rows=None):
+def _assign_entries(a, new_rows, new_cols, new_vals, clear_rows=None,
+                    clear_cols=None):
     """Core assignment merge (host metadata op, one sort pass).
 
     SciPy/reference semantics (`_index.py:400,555-561` `_set_many` /
     `_set_arrayXarray_sparse`): assigned positions take the new value —
     explicit zeros are STORED, not pruned; for block assignment
-    (`clear_rows`) every pre-existing entry in the cleared rows is set
+    (`clear_rows`, optionally restricted to `clear_cols` for submatrix
+    assignment) every pre-existing entry in the cleared region is set
     to explicit 0 first, so the result pattern is the union.  Duplicate
     assigned positions: last one wins."""
     a2 = a.sum_duplicates()
@@ -218,6 +260,8 @@ def _assign_entries(a, new_rows, new_cols, new_vals, clear_rows=None):
     erows = np.asarray(a2.rows, np.int64)
     if clear_rows is not None and erows.size:
         cleared = np.isin(erows, np.asarray(clear_rows, np.int64))
+        if clear_cols is not None:
+            cleared &= np.isin(ix, np.asarray(clear_cols, np.int64))
         dv[cleared] = 0
     ekeys = erows * n + ix
     nkeys = np.asarray(new_rows, np.int64) * n \
@@ -267,6 +311,49 @@ def _set_rows(a, rows_sel, value):
     return _assign_entries(a, nr, nc, vals.ravel(), clear_rows=rows_sel)
 
 
+def _set_submatrix(a, rows_sel, cols_sel, value):
+    """Submatrix assignment `A[rows, cols_sel] = B` over an outer
+    rows x cols selection, with B sparse (reference `_index.py:555-561`
+    `_set_arrayXarray_sparse`: old entries in the selected region zeroed
+    in place, B's pattern overlaid) or dense/scalar (every position of
+    the selection stored, `_set_many`)."""
+    from spmm_tpu.sparse.base import issparse
+
+    rows_sel = np.asarray(rows_sel, np.int64)
+    cols_sel = np.asarray(cols_sel, np.int64)
+    R, C = rows_sel.shape[0], cols_sel.shape[0]
+    if issparse(value):
+        if value.shape != (R, C):
+            raise ValueError(
+                f"shape mismatch: assigning {value.shape} into {(R, C)}")
+        b = value.tocsr().sum_duplicates()
+        brows = np.asarray(b.rows, np.int64)
+        bcols = np.asarray(b.indices, np.int64)
+        return _assign_entries(a, rows_sel[brows], cols_sel[bcols],
+                               np.asarray(b.data), clear_rows=rows_sel,
+                               clear_cols=cols_sel)
+    vals = np.broadcast_to(np.asarray(value), (R, C))
+    nr = np.repeat(rows_sel, C)
+    nc = np.tile(cols_sel, R)
+    return _assign_entries(a, nr, nc, vals.ravel())
+
+
+def _normalize_axis_key(key, extent):
+    """slice / int / int array / bool mask → explicit index array."""
+    if isinstance(key, slice):
+        start, stop, step = key.indices(extent)
+        return np.arange(start, stop, step, dtype=np.int64)
+    if isinstance(key, (int, np.integer)):
+        return np.asarray([int(key) % extent], np.int64)
+    arr = np.asarray(key)
+    if arr.dtype == np.bool_:
+        if arr.shape[0] != extent:
+            raise IndexError(
+                f"boolean mask length {arr.shape[0]} != extent {extent}")
+        return np.nonzero(arr)[0]
+    return arr.astype(np.int64).ravel() % extent
+
+
 def csr_setitem(a, key, value):
     """Assignment (in place — the container's arrays are rebuilt and
     swapped, like the reference's `_index.py` __setitem__):
@@ -293,8 +380,33 @@ def csr_setitem(a, key, value):
         arr_i = isinstance(ik, (list, np.ndarray, jnp.ndarray))
         arr_j = isinstance(jk, (list, np.ndarray, jnp.ndarray))
         if (arr_i or int_i) and (arr_j or int_j):
-            ri = np.asarray(ik, np.int64).ravel() % m
-            cj = np.asarray(jk, np.int64).ravel() % n
+            ri = np.asarray(ik)
+            cj = np.asarray(jk)
+            if ri.dtype == np.bool_:
+                ri = np.nonzero(ri)[0]
+            if cj.dtype == np.bool_:
+                cj = np.nonzero(cj)[0]
+            ri = ri.astype(np.int64)
+            cj = cj.astype(np.int64)
+            if ri.ndim > 1 or cj.ndim > 1:
+                # 2-D fancy mesh assignment (np.ix_ / rows[:, None] form)
+                ri2, cj2 = np.broadcast_arrays(ri % m, cj % n)
+                if issparse(value):
+                    rows_sel = ri2[:, 0]
+                    cols_sel = cj2[0, :]
+                    outer = (np.array_equal(
+                        ri2, np.broadcast_to(rows_sel[:, None], ri2.shape))
+                        and np.array_equal(
+                            cj2, np.broadcast_to(cols_sel, cj2.shape)))
+                    if outer:
+                        return _set_submatrix(a, rows_sel, cols_sel, value)
+                    value = np.asarray(value.toarray())
+                vals = np.broadcast_to(
+                    np.asarray(value, np.asarray(a.data).dtype), ri2.shape)
+                return _assign_entries(a, ri2.ravel(), cj2.ravel(),
+                                       vals.ravel())
+            ri = ri.ravel() % m
+            cj = cj.ravel() % n
             ri, cj = np.broadcast_arrays(ri, cj)
             vals = np.broadcast_to(
                 np.asarray(value, np.asarray(a.data).dtype).ravel()
@@ -302,6 +414,13 @@ def csr_setitem(a, key, value):
             return _assign_entries(a, ri, cj, vals)
         if isinstance(jk, slice) and jk == slice(None):
             key = ik  # fall through to the row forms below
+        elif (arr_i or int_i or isinstance(ik, slice)) and (
+                arr_j or int_j or isinstance(jk, slice)):
+            # submatrix assignment over an outer rows x cols selection:
+            # A[i0:i1, j0:j1] = B, A[rows, j0:j1:s] = B, A[i, cols] = B, ...
+            rows_sel = _normalize_axis_key(ik, m)
+            cols_sel = _normalize_axis_key(jk, n)
+            return _set_submatrix(a, rows_sel, cols_sel, value)
         else:
             raise NotImplementedError(f"unsupported assignment key "
                                       f"{key!r}")

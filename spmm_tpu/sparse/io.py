@@ -122,7 +122,12 @@ def load_spmv_plan(path: str):
     with np.load(path) as f:
         ver = int(f["plan_format_version"]) if "plan_format_version" in f \
             else 1
-        if ver != SPMV_PLAN_FORMAT_VERSION:
+        # v2 plans decode identically under v3: S defaults to 1 and the
+        # r0s/route/seg encodings are unchanged at S == 1 (the documented
+        # hazard is only v3 S>1 plans read by v2 code, which the version
+        # field prevents on that side) — so accept them rather than force
+        # a full re-analysis (seconds to ~7 s at 32M nnz).
+        if ver not in (2, SPMV_PLAN_FORMAT_VERSION):
             raise ValueError(
                 f"spmv plan at {path!r} has format version {ver}, this "
                 f"build expects {SPMV_PLAN_FORMAT_VERSION}; re-run "

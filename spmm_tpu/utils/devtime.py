@@ -97,6 +97,20 @@ def _pick_perturb_leaves(leaves) -> list:
     return floats if floats else ints
 
 
+# Measurement-bias note (ADVICE r4): perturbing every float input adds
+# one elementwise add per input per iteration.  Upper bound on the bias:
+# one extra HBM read+write pass over each perturbed input (~2.4 µs/GB/ms
+# of table at 819 GB/s).  In practice the bias is usually far smaller:
+# the whole replay chain inlines into ONE XLA program, so the perturbing
+# add fuses into the consumer's first read of that input wherever the
+# consumer streams it (no separate pass materialises).  This is also why
+# calibrate-and-subtract of a perturb-only scan would OVER-correct — a
+# perturb-only loop has no consumer to fuse into, so it prices the adds
+# at their unfused worst case.  For bandwidth-bound kernels where the
+# distinction matters (routed SpMV streams ~6-7 B/slot), treat reported
+# slopes as an upper bound that is at most one input-stream too high.
+
+
 def _perturbed(x, chk):
     flag = chk == jnp.int32(_SENTINEL)
     if jnp.issubdtype(x.dtype, jnp.inexact):

@@ -436,3 +436,42 @@ def test_alg3_blocked_three_engines_bitwise():
             np.testing.assert_array_equal(
                 np.asarray(outs[0].data).view(np.uint32),
                 np.asarray(C2.data).view(np.uint32))
+
+
+def test_spgemm_capacity_boundary_100k():
+    """The reference's intentionally-huge TestSpgemm shape
+    (tests/cupyx_tests/test_cusparse.py:372-410: an ultra-sparse
+    100k x 100k case that exercises the memory/OOM boundary).  Here the
+    boundary is the dense-intermediate budget gate: at this size the
+    dense footprint (~40 GB/panel) must fail `_blocked_feasible` and
+    auto dispatch (alg=0) must route to the ESC engine — and still
+    return the exact SciPy result."""
+    import scipy.sparse as sp
+
+    from spmm_tpu.ops.spgemm import _blocked_feasible
+
+    m = k = n = 100_000
+    A = st.random(m, k, 1e-6, format="csr", random_state=42)
+    B = st.random(k, n, 1e-6, format="csr", random_state=43)
+    assert A.nnz == 10_000 and B.nnz == 10_000
+    # the gate: dense panels infeasible -> blocked engines must NOT engage
+    assert not _blocked_feasible(A, B)
+
+    C = st.spgemm(A, B, alpha=2.0, alg=0)
+    assert C.shape == (m, n)
+
+    As = sp.csr_matrix((np.asarray(A.data), np.asarray(A.indices),
+                        np.asarray(A.indptr)), shape=A.shape)
+    Bs = sp.csr_matrix((np.asarray(B.data), np.asarray(B.indices),
+                        np.asarray(B.indptr)), shape=B.shape)
+    Cs = (2.0 * (As @ Bs)).tocsr()
+    Cs.sort_indices()
+    np.testing.assert_array_equal(np.asarray(C.indptr), Cs.indptr)
+    np.testing.assert_array_equal(np.asarray(C.indices), Cs.indices)
+    np.testing.assert_allclose(np.asarray(C.data), Cs.data, rtol=1e-6)
+
+    # alg=3 chunked path at the same scale (the reference exercises the
+    # chunked low-memory API on the huge shape)
+    C3 = st.spgemm(A, B, alpha=2.0, alg=3, chunk_fraction=0.3)
+    np.testing.assert_array_equal(np.asarray(C3.indptr), Cs.indptr)
+    np.testing.assert_allclose(np.asarray(C3.data), Cs.data, rtol=1e-6)
