@@ -429,7 +429,19 @@ def spmv_routed_plan(indptr_host, indices_host, data_host,
             L_gc = np.maximum(
                 SB, _ceil_div(np.maximum(_ceil_div(maxbin, R_c), maxdeg),
                               SB) * SB)
-            slots_c = int(L_gc.sum()) * 128
+            # rank candidates by the PADDED slot count the kernel will
+            # actually stream (NLP quantum: u1f tiles for stacked plans,
+            # the two-kernel 1024/128 quanta at S == 1) — raw slots made
+            # S=8 beat S=4 at 100k nnz even though both pad to the same
+            # NLP and S=4's reduce is cheaper (r5)
+            NL_c = _round_up(int(L_gc.sum()), 128)
+            if S_c == 1:
+                NLP_c = max(_round_up(NL_c, U1 * 128),
+                            _round_up(NL_c, SB * U2))
+            else:
+                NLP_c = _round_up(
+                    NL_c, (4 if NL_c > U1F_SMALL_NL else 2) * 128)
+            slots_c = NLP_c * 128
             if S_c > 1:
                 # stacked plans reduce via the dense-subsum + one-hot
                 # matmul only — respect its budget

@@ -189,7 +189,10 @@ def _alg2_compute(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
         # zero stacked intermediates)
         cols = flat_s[:cap_tile] % jnp.asarray(n, INDEX_DTYPE)
         cb = lax.dynamic_update_slice(cb, cols, (offs[t],))
-        vb = lax.dynamic_update_slice(vb, val_s[:cap_tile], (offs[t],))
+        # alpha folded into the tile write: a trailing alpha*valbuf
+        # copy would keep a second O(nnz) value buffer live at peak
+        vb = lax.dynamic_update_slice(vb, alpha * val_s[:cap_tile],
+                                      (offs[t],))
         return (cb, vb), rowc
 
     colbuf = jnp.zeros((nnz + cap_tile,), INDEX_DTYPE)
@@ -199,7 +202,7 @@ def _alg2_compute(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
     indptr = jnp.concatenate(
         [jnp.zeros((1,), INDEX_DTYPE),
          jnp.cumsum(rowc.reshape(-1)[:m], dtype=INDEX_DTYPE)])
-    return indptr, colbuf[:nnz], alpha * valbuf[:nnz]
+    return indptr, colbuf[:nnz], valbuf[:nnz]
 
 
 # compile-time bound for the unrolled alg2 engine (one densify + two dots
@@ -281,7 +284,8 @@ def _alg2_compute_unrolled(a_indptr_pad, a_indices, a_data, b_indptr,
         else:
             _, cols_t, vals_t = _extract_sort(ct, mask, cap_t, TILE, n)
         cols = lax.dynamic_update_slice(cols, cols_t, (off,))
-        vals = lax.dynamic_update_slice(vals, vals_t, (off,))
+        # alpha folded per tile (no trailing O(nnz) alpha copy)
+        vals = lax.dynamic_update_slice(vals, alpha * vals_t, (off,))
         rowc_seg[t] = jnp.sum(mask, axis=1, dtype=INDEX_DTYPE)
         off += cap_t
         # sequence the tiles: without this barrier XLA's latency-hiding
@@ -296,7 +300,7 @@ def _alg2_compute_unrolled(a_indptr_pad, a_indices, a_data, b_indptr,
     indptr = jnp.concatenate(
         [jnp.zeros((1,), INDEX_DTYPE),
          jnp.cumsum(rowc, dtype=INDEX_DTYPE)])
-    return indptr, cols, alpha * vals
+    return indptr, cols, vals
 
 
 def spgemm_alg2_blocked(a, b, alpha, precision: str = "highest",
@@ -593,7 +597,8 @@ def _alg3_compute(a_off, a_end, a_colv, a_val, b_off, b_end, b_rowv,
         ks, vs = lax.sort((ks, vs0), num_keys=1, is_stable=True)
         cols = ks % jnp.asarray(n, INDEX_DTYPE)
         cb = lax.dynamic_update_slice(cb, cols, (offs[t],))
-        vb = lax.dynamic_update_slice(vb, vs, (offs[t],))
+        # alpha folded into the merge write (see _alg2_compute)
+        vb = lax.dynamic_update_slice(vb, alpha * vs, (offs[t],))
         return (cb, vb), ()
 
     (colbuf, valbuf), _ = lax.scan(
@@ -601,7 +606,7 @@ def _alg3_compute(a_off, a_end, a_colv, a_val, b_off, b_end, b_rowv,
     indptr = jnp.concatenate(
         [jnp.zeros((1,), INDEX_DTYPE),
          jnp.cumsum(rowc[:m], dtype=INDEX_DTYPE)])
-    return indptr, colbuf[:nnz], alpha * valbuf[:nnz]
+    return indptr, colbuf[:nnz], valbuf[:nnz]
 
 
 # ---------------------------------------------------------------------------
@@ -761,12 +766,13 @@ def _alg3_compute_unrolled(a_indptr_pad, a_indices, a_data, b_ip_panels,
         gf_s, vv_s = lax.sort((gf, vv), num_keys=1, is_stable=True)
         colbuf = lax.dynamic_update_slice(
             colbuf, gf_s[:cap_tile] % nI, (offs[t],))
+        # alpha folded into the merge write (no trailing alpha copy)
         valbuf = lax.dynamic_update_slice(
-            valbuf, vv_s[:cap_tile], (offs[t],))
+            valbuf, alpha * vv_s[:cap_tile], (offs[t],))
         colbuf, valbuf = lax.optimization_barrier((colbuf, valbuf))
         ztok = lax.shift_right_arithmetic(colbuf[0],
                                           jnp.asarray(31, INDEX_DTYPE))
-    return colbuf[:nnz], alpha * valbuf[:nnz]
+    return colbuf[:nnz], valbuf[:nnz]
 
 
 # ---------------------------------------------------------------------------
@@ -893,7 +899,7 @@ def _alg3_compute_scan3(a_indptr_pad, a_indices, a_data, b_off, b_end,
             _, val_s = lax.sort((sortkey, ct.ravel()), num_keys=1,
                                 is_stable=True)
             vbuf = lax.dynamic_update_slice(
-                vbuf, val_s[:cap_blk], (prod_off[p, t],))
+                vbuf, alpha * val_s[:cap_blk], (prod_off[p, t],))
             # opaque zero: makes the NEXT tile/panel densify a distinct
             # computation (defeats CSE/hoisting of loop-invariant tiles)
             tok = lax.shift_right_arithmetic(
@@ -905,7 +911,7 @@ def _alg3_compute_scan3(a_indptr_pad, a_indices, a_data, b_off, b_end,
         panel_body, (vbuf, jnp.zeros((), INDEX_DTYPE)),
         jnp.arange(P, dtype=INDEX_DTYPE))
     _, vals = lax.sort((rank_pad, vbuf), num_keys=1, is_stable=True)
-    return alpha * vals[:nnz]
+    return vals[:nnz]
 
 
 def _spgemm_alg3_scan3(a, b, alpha, n_b: int, P: int, T: int,
@@ -973,6 +979,239 @@ def _spgemm_alg3_scan3(a, b, alpha, n_b: int, P: int, T: int,
         jnp.asarray(prod_off), jnp.asarray(alpha, a.dtype),
         m, k, n_b, T, P, Eb, cap_blk, nnz, precision,
         tuple(tiles_meta), safe, interpret)
+    return CSR.from_parts(jnp.asarray(indptr_h, INDEX_DTYPE),
+                          jnp.asarray(indices_h, INDEX_DTYPE), vals,
+                          (m, n), canonical=True)
+
+
+# ---------------------------------------------------------------------------
+# ALG3 tile-group engine: host-exact structure + staged row-stripes,
+# sort-free extraction in final CSR order (round 5)
+# ---------------------------------------------------------------------------
+
+# staging budget for one tile-group's (G·128, n) value + mask stripes —
+# bounds the engine's extra resident memory well below alg2's full dense
+# B (the alg3 memory contract is still panel-dominated: k·n_b)
+_GROUP_STAGING_BYTES = 8 << 20
+# compile-time block bound for the group engine (fully unrolled T·P block
+# bodies, like MAX_UNROLL_BLOCKS but with cheaper per-block tails: no
+# per-block compaction sort, no per-tile merge sort)
+_GROUP_MAX_BLOCKS = 96
+
+
+@functools.partial(
+    memtrace.jit,
+    static_argnames=("m", "k", "n", "n_b", "T", "P", "G", "nnz",
+                     "precision", "tiles_meta", "panels_meta", "tile_caps",
+                     "interpret"))
+def _alg3_compute_group(a_indptr_pad, a_indices, a_data, b_ip_panels,
+                        b_lcol, b_data, b_rank, alpha, m: int, k: int,
+                        n: int, n_b: int, T: int, P: int, G: int, nnz: int,
+                        precision: str, tiles_meta, panels_meta, tile_caps,
+                        interpret: bool = False):
+    """Tile-group chunked SpGEMM: zero sorts on the hot path.
+
+    The scan3/unrolled engines spend the 2048² cells almost entirely in
+    lax.sort (per-block compaction sorts + the rank/merge sort: ~8.4M
+    sorted elements at 2048²/0.1 ≈ the whole 23.7 ms) because a block's
+    (panel, tile) output must be re-interleaved into row-major CSR
+    order.  This engine removes the interleave instead: G row-tiles are
+    staged as full-width (G·128, n) value/mask stripes (panel dots land
+    at their final column offsets), so each tile's values can be
+    extracted DIRECTLY in final CSR order with the alg1/alg2 sort-free
+    selector (full/roll/shift by the host-exact static hole count, sort
+    only as the low-fill fallback).  The memory contract stays
+    alg3-shaped: one B panel (k·n_b) + one A tile + a G-tile stage
+    (bounded by _GROUP_STAGING_BYTES) + the exact nnz output values —
+    B panels are re-densified once per group (the time↔memory knob,
+    mirroring the A-tile re-densify of the other engines).
+
+    Structure (indptr/indices) is host-exact (`_structural_product`),
+    so the program emits ONLY values — bitwise-identical to the
+    scan3/unrolled engines (same panel dots, same extracted elements).
+    """
+    from spmm_tpu.ops.kernels.densify_onehot import densify_onehot
+    from spmm_tpu.ops.kernels.extract_roll import (extract_roll,
+                                                   extract_roll_applies)
+    from spmm_tpu.ops.spgemm import (_EXTRACT_ROLL_MAX_HOLES,
+                                     _SHIFT_EXTRACT_MAX_HOLES,
+                                     _bucket_holes, _extract_full,
+                                     _extract_shift, _extract_sort)
+
+    prec = _PREC[precision]
+
+    # panel-major value permutation (host-built rank), in-program: a sort
+    # by a bijective key beats TPU's serialized gather
+    _, b_vals = lax.sort((b_rank, b_data), num_keys=1, is_stable=True)
+
+    def dens_a(t: int, tok):
+        e0, e1, plan = tiles_meta[t]
+        ipt = (lax.slice(a_indptr_pad, (t * TILE,),
+                         (t * TILE + TILE + 1,))
+               - jnp.asarray(e0, INDEX_DTYPE))
+        ixt = lax.slice(a_indices, (e0,), (e1,)) + tok
+        dvt = lax.slice(a_data, (e0,), (e1,))
+        if plan is not None:
+            return densify_onehot(ipt, ixt, dvt, TILE, k, plan, interpret)
+        vd = _value_dense(ipt, ixt, dvt, TILE, k)
+        pat = _pattern_dense(ipt, ixt, e1 - e0, TILE, k)
+        return vd, pat
+
+    def dens_b(p: int, tok):
+        b0, b1, plan = panels_meta[p]
+        ipp = b_ip_panels[p]
+        ixp = lax.slice(b_lcol, (b0,), (b1,)) + tok
+        dvp = lax.slice(b_vals, (b0,), (b1,))
+        if plan is not None:
+            return densify_onehot(ipp, ixp, dvp, k, n_b, plan, interpret)
+        vd = _value_dense(ipp, ixp, dvp, k, n_b)
+        pat = _pattern_dense(ipp, ixp, b1 - b0, k, n_b)
+        return vd, pat
+
+    offs = [0]
+    for t in range(T):
+        offs.append(offs[-1] + tile_caps[t])
+
+    vals = jnp.zeros((nnz,), a_data.dtype)
+    tok = jnp.zeros((), INDEX_DTYPE)
+    for g0 in range(0, T, G):
+        Gt = min(G, T - g0)
+        if all(tile_caps[g0 + ti] == 0 for ti in range(Gt)):
+            continue
+        stage_v = jnp.zeros((Gt * TILE, n), a_data.dtype)
+        stage_m = jnp.zeros((Gt * TILE, n), jnp.bool_)
+        for p in range(P):
+            pb0, pb1, _ = panels_meta[p]
+            if pb1 == pb0:
+                continue
+            w = min(n_b, n - p * n_b)
+            bd, bpat = dens_b(p, tok)
+            for ti in range(Gt):
+                t = g0 + ti
+                e0, e1, _ = tiles_meta[t]
+                if e1 == e0 or tile_caps[t] == 0:
+                    continue
+                ad, apat = dens_a(t, tok)
+                ct = jnp.dot(ad, bd, precision=prec,
+                             preferred_element_type=a_data.dtype)
+                counts = jnp.dot(apat, bpat,
+                                 preferred_element_type=jnp.float32)
+                nz = counts > 0
+                stage_v = lax.dynamic_update_slice(
+                    stage_v, lax.slice(ct, (0, 0), (TILE, w)),
+                    (ti * TILE, p * n_b))
+                stage_m = lax.dynamic_update_slice(
+                    stage_m, lax.slice(nz, (0, 0), (TILE, w)),
+                    (ti * TILE, p * n_b))
+                # opaque zero (sign bit of a nonnegative count): the next
+                # block's densify becomes a distinct computation (no CSE
+                # back into a resident full dense), and the barrier pins
+                # one block workspace live at a time
+                nnz_b = jnp.sum(nz, dtype=INDEX_DTYPE)
+                tok = lax.shift_right_arithmetic(
+                    nnz_b, jnp.asarray(31, INDEX_DTYPE))
+                stage_v, stage_m, tok, a_data, b_vals = \
+                    lax.optimization_barrier(
+                        (stage_v, stage_m, tok, a_data, b_vals))
+        # extraction: each tile's stripe is already in final CSR layout —
+        # the static (host-exact) hole count selects the sort-free path
+        for ti in range(Gt):
+            t = g0 + ti
+            cap_t = tile_caps[t]
+            if cap_t == 0:
+                continue
+            c_t = lax.slice(stage_v, (ti * TILE, 0), ((ti + 1) * TILE, n))
+            m_t = lax.slice(stage_m, (ti * TILE, 0), ((ti + 1) * TILE, n))
+            g = TILE * n - cap_t
+            if g == 0:
+                _, _, vals_t = _extract_full(c_t, m_t, TILE, n)
+            elif (g <= _EXTRACT_ROLL_MAX_HOLES
+                    and extract_roll_applies(cap_t, _bucket_holes(g),
+                                             c_t.dtype)):
+                _, _, vals_t = extract_roll(c_t, m_t, cap_t,
+                                            _bucket_holes(g), TILE, n)
+            elif g <= _SHIFT_EXTRACT_MAX_HOLES:
+                _, _, vals_t = _extract_shift(c_t, m_t, cap_t,
+                                              _bucket_holes(g), TILE, n)
+            else:
+                _, _, vals_t = _extract_sort(c_t, m_t, cap_t, TILE, n)
+            vals = lax.dynamic_update_slice(vals, alpha * vals_t,
+                                            (offs[t],))
+        # sequence the groups (one stage + one extraction ws live)
+        vals, tok = lax.optimization_barrier((vals, tok))
+    return vals
+
+
+def _spgemm_alg3_group(a, b, alpha, n_b: int, P: int, T: int,
+                       m_pad: int, precision: str, verbose: bool,
+                       interpret: bool):
+    from spmm_tpu.sparse.csr import CSR
+    from spmm_tpu.ops.serving import _structural_product
+    from spmm_tpu.ops.spgemm import _empty_csr
+
+    m, k = a.shape
+    n = b.shape[1]
+    indptr_h, indices_h, _flat = _structural_product(a, b)
+    nnz = int(indptr_h[-1])
+    if nnz == 0:
+        return _empty_csr(m, n, a.dtype)
+    bounds = np.minimum(np.arange(T + 1) * TILE, m)
+    tile_caps = tuple(int(indptr_h[bounds[t + 1]] - indptr_h[bounds[t]])
+                      for t in range(T))
+
+    a_indptr_h = np.asarray(a.indptr)
+    if m_pad != m:
+        a_indptr_h = np.concatenate(
+            [a_indptr_h, np.full((m_pad - m,), a_indptr_h[-1],
+                                 a_indptr_h.dtype)])
+    tiles_meta = []
+    for t in range(T):
+        e0 = int(a_indptr_h[t * TILE])
+        e1 = int(a_indptr_h[(t + 1) * TILE])
+        local = (a_indptr_h[t * TILE:(t + 1) * TILE + 1] - e0).astype(
+            np.int64)
+        plan = (_tile_onehot_plan(local, TILE, k, a.dtype, interpret)
+                if e1 > e0 else None)
+        tiles_meta.append((e0, e1, plan))
+
+    # B panel-major entry runs with per-panel local indptr (as unrolled)
+    b_indptr_h = np.asarray(b.indptr)
+    b_cols_h = np.asarray(b.indices)
+    b_rows_h = np.repeat(np.arange(k, dtype=np.int64), np.diff(b_indptr_h))
+    panel_of = b_cols_h // n_b
+    order = np.argsort(panel_of, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(order.shape[0])
+    b_lcol_h = (b_cols_h % n_b)[order].astype(np.int32)
+    b_rows_srt = b_rows_h[order]
+    b_bounds = np.concatenate(
+        [[0], np.cumsum(np.bincount(panel_of, minlength=P))]).astype(
+        np.int64)
+    panels_meta = []
+    b_ip_panels = np.zeros((P, k + 1), np.int32)
+    for p in range(P):
+        b0, b1 = int(b_bounds[p]), int(b_bounds[p + 1])
+        ipp = np.concatenate(
+            [[0], np.cumsum(np.bincount(b_rows_srt[b0:b1], minlength=k))]
+        ).astype(np.int64)
+        b_ip_panels[p] = ipp
+        plan = (_tile_onehot_plan(ipp, k, n_b, b.dtype, interpret)
+                if b1 > b0 else None)
+        panels_meta.append((b0, b1, plan))
+
+    itemsize = np.dtype(a.dtype).itemsize
+    G = max(1, min(T, _GROUP_STAGING_BYTES // (TILE * n * (itemsize + 1))))
+    if verbose:
+        print(f"[spgemm alg3/blocked] group T={T} P={P} n_b={n_b} G={G} "
+              f"nnz={nnz} onehot="
+              f"{sum(pl is not None for _, _, pl in tiles_meta)}a/"
+              f"{sum(pl is not None for _, _, pl in panels_meta)}b")
+    vals = _alg3_compute_group(
+        jnp.asarray(a_indptr_h, INDEX_DTYPE), a.indices, a.data,
+        jnp.asarray(b_ip_panels), jnp.asarray(b_lcol_h), b.data,
+        jnp.asarray(rank.astype(np.int32)), jnp.asarray(alpha, a.dtype),
+        m, k, n, n_b, T, P, G, nnz, precision, tuple(tiles_meta),
+        tuple(panels_meta), tile_caps, interpret)
     return CSR.from_parts(jnp.asarray(indptr_h, INDEX_DTYPE),
                           jnp.asarray(indices_h, INDEX_DTYPE), vals,
                           (m, n), canonical=True)
@@ -1068,26 +1307,35 @@ def spgemm_alg3_blocked(a, b, alpha, chunk_fraction: float,
     m_pad = _round_up(max(m, 1), TILE)
     T = m_pad // TILE
 
-    # engine selection: unrolled (fastest, T·P-bounded compile) →
-    # scan-v3 (host-exact structure, panel scan with unrolled tiles,
-    # bounded memory) → scan-v2 (device-sized, unbounded grids).  All
-    # three are bitwise-identical.  `engine` forces one; the legacy
-    # `unroll` bool maps True→"unrolled", False→scan family.
+    # engine selection: group (sort-free staged stripes, host-exact
+    # structure) → unrolled (T·P-bounded compile) → scan-v3 (host-exact
+    # structure, panel scan with unrolled tiles, bounded memory) →
+    # scan-v2 (device-sized, unbounded grids).  All four are
+    # bitwise-identical.  `engine` forces one; the legacy `unroll` bool
+    # maps True→"unrolled", False→scan family.
     if engine is None:
         engine = {True: "unrolled", False: None}.get(unroll)
     if engine is None:
-        if (T * P <= MAX_UNROLL_BLOCKS and TILE * (n_pad + 1) < 2**31
+        products = int(np.diff(np.asarray(b.indptr))[
+            np.asarray(a.indices)].sum()) if a.nnz and b.nnz else 0
+        host_ok = (a.nnz and b.nnz and products <= _SCAN3_MAX_PRODUCTS
+                   and TILE * (n_pad + 1) < 2**31)
+        if host_ok and T * P <= _GROUP_MAX_BLOCKS:
+            # sort-free staged engine: replaces the per-block compaction
+            # sorts + merge/rank sort with staged stripes and static-hole
+            # extraction; preferred wherever the host structural product
+            # is affordable (see grid_latest.json for measured peaks/ms)
+            engine = "group"
+        elif (T * P <= MAX_UNROLL_BLOCKS and TILE * (n_pad + 1) < 2**31
                 and a.nnz > 0 and b.nnz > 0):
             engine = "unrolled"
+        elif host_ok and T <= _SCAN3_MAX_TILES:
+            engine = "scan3"
         else:
-            products = int(np.diff(np.asarray(b.indptr))[
-                np.asarray(a.indices)].sum()) if a.nnz and b.nnz else 0
-            if (a.nnz and b.nnz and T <= _SCAN3_MAX_TILES
-                    and products <= _SCAN3_MAX_PRODUCTS
-                    and TILE * (n_pad + 1) < 2**31):
-                engine = "scan3"
-            else:
-                engine = "scan2"
+            engine = "scan2"
+    if engine == "group":
+        return _spgemm_alg3_group(a, b, alpha, n_b, P, T, m_pad,
+                                  precision, verbose, interpret)
     if engine == "unrolled":
         return _spgemm_alg3_unrolled(a, b, alpha, n_b, P, T, m_pad,
                                      precision, verbose, interpret)

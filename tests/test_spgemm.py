@@ -427,7 +427,7 @@ def test_alg3_blocked_three_engines_bitwise():
     A, B, _, _ = make_pair(300, 200, 260, 0.1, 0.1)
     for cf in (0.2, 0.6):
         outs = [spgemm_alg3_blocked(A, B, 1.0, cf, engine=e)
-                for e in ("unrolled", "scan3", "scan2")]
+                for e in ("unrolled", "scan3", "scan2", "group")]
         for C2 in outs[1:]:
             np.testing.assert_array_equal(np.asarray(outs[0].indptr),
                                           np.asarray(C2.indptr))

@@ -100,7 +100,12 @@ def _boundary_plan_case(lo_scale, hi_scale, seed=0):
         np.float32)
     indptr = np.arange(0, m * deg + 1, deg, dtype=np.int64)
     x = rng.standard_normal(n).astype(np.float32)
-    plan = spmv_routed_plan(indptr, cols.ravel(), data.ravel(), m, n)
+    # stack_override=1: these cases exercise the S=1 seg2/fallback
+    # kernels specifically; the r5 padded-slot cost model otherwise
+    # (correctly) prefers a stacked plan at this tiny NL, whose matsum
+    # reduce never takes the seg path
+    plan = spmv_routed_plan(indptr, cols.ravel(), data.ravel(), m, n,
+                            stack_override=1)
     return plan, indptr, cols.ravel(), data.ravel(), x, m, n
 
 
