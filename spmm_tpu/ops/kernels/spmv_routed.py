@@ -759,7 +759,14 @@ def _fused_kernel_dense_y(hi_ref, val_ref, route_ref, oh_ref, xq_ref,
     (one-hot build + dot + reshape) cost ~25% of the whole call at
     100k-nnz plans.  Per-step partial dots sum in a fixed order —
     deterministic per plan (a different tree than the unfused matsum,
-    so not bitwise-comparable to it, same accuracy class)."""
+    so not bitwise-comparable to it, same accuracy class).
+
+    On-device coverage (ADVICE r4 item 2): the CPU interpret suite does
+    not run Mosaic's block checks — v5e smoke jobs r5/004 (caught the
+    S=1/S=2 multi-step 32/64-lane one-hot block, fixed by
+    `_fused_matsum_u1f`) and r5/008 (green re-run incl. S ∈ {1,2,4,8}
+    and the stacked small-NL path) are the recorded device validations;
+    re-run the r5/008 job body after touching any BlockSpec here."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -791,6 +798,25 @@ def _fused_kernel_dense_y(hi_ref, val_ref, route_ref, oh_ref, xq_ref,
     y_ref[...] += jnp.dot(oh_ref[...], sub,
                           precision=lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32)
+
+
+def _fused_matsum_u1f(NL: int, S: int, u1f: int, nsteps: int):
+    """Mosaic-legal (u1f, nsteps) for the fused matsum kernel, or None.
+
+    The fused kernel blocks the one-hot's LANE dim by u1f·(128/SB)·S
+    columns per grid step; Mosaic requires that to be 128-divisible
+    unless the block spans the whole array (single step).  At S ∈ {1, 2}
+    with nsteps > 1 the natural u1f gives 32/64-lane blocks — the
+    on-device failure v5e job r5/004 caught (the CPU interpret suite
+    cannot: interpret mode skips Mosaic's block checks).  Raise u1f
+    until the slice is legal; give up (caller uses the unfused epilogue)
+    if the table's NL quantum can't support it."""
+    while nsteps > 1 and (u1f * (128 // SB) * S) % 128:
+        if u1f >= 8 or NL % (2 * u1f * 128):
+            return None
+        u1f *= 2
+        nsteps = max(_ceil_div(NL, u1f * 128), 1)
+    return u1f, nsteps
 
 
 @functools.partial(memtrace.jit,
@@ -833,7 +859,10 @@ def _spmv_routed_call(hi_tbl, val_tbl, route_tbl, seg, r0s, x,
                     + jnp.arange(S, dtype=r0s.dtype)[None, :]).reshape(-1)
         onehot = (jnp.arange(G_pad, dtype=jnp.int32)[:, None]
                   == base[None, :]).astype(jnp.float32)
-        if G_pad <= _MATSUM_FUSED_MAX_GPAD and mode != "matsum_unfused":
+        fused = _fused_matsum_u1f(NL, S, u1f, nstepsf)
+        if (fused is not None and G_pad <= _MATSUM_FUSED_MAX_GPAD
+                and mode != "matsum_unfused"):
+            u1f, nstepsf = fused
             # one kernel: the per-step one-hot contraction accumulates
             # into a resident VMEM y (the separate epilogue cost ~25%
             # of the call at 100k-nnz plans)

@@ -370,3 +370,50 @@ def test_spmv_routed_stacked_mode_rejects():
     x = jnp.asarray(np.zeros(600, np.float32))
     with pytest.raises(ValueError, match="stacked plans"):
         spmv_routed(x, plan, interpret=True, mode="seg")
+
+
+def test_fused_matsum_u1f_mosaic_legal():
+    """Every (u1f, nsteps) the fused matsum path can select must satisfy
+    Mosaic's block rule: the one-hot's per-step lane slice (u1f*16*S
+    columns) is 128-divisible, or the grid is a single step (block ==
+    array).  The S=1/S=2 multi-step cases used to produce 32/64-lane
+    blocks — rejected by the on-device lowering (v5e r5 job 004; the
+    interpret-mode suite cannot catch it)."""
+    from spmm_tpu.ops.kernels.spmv_routed import (_ceil_div,
+                                                  _fused_matsum_u1f)
+
+    for S in (1, 2, 4, 8):
+        for NL in (256, 512, 1024, 1280, 2048, 4608, 9728, 12288):
+            if NL % 256:
+                continue
+            u1f = 2 if NL <= 4096 else 4
+            while NL % (u1f * 128):
+                u1f //= 2
+            nsteps = max(_ceil_div(NL, u1f * 128), 1)
+            r = _fused_matsum_u1f(NL, S, u1f, nsteps)
+            if r is None:
+                continue
+            u1f_f, nsteps_f = r
+            assert NL % (u1f_f * 128) == 0
+            assert nsteps_f == max(_ceil_div(NL, u1f_f * 128), 1)
+            assert nsteps_f == 1 or (u1f_f * 16 * S) % 128 == 0, \
+                (S, NL, u1f_f, nsteps_f)
+
+
+def test_spmv_routed_s1_small_plan_matsum_interpret():
+    """S=1 tiny-NL plan (the case that crashed on device) — semantics
+    via interpret mode after the u1f fix."""
+    from scipy import sparse as sp
+
+    rng = np.random.default_rng(3)
+    m = n = 2000
+    Ac = st.random(m, n, 2e-3, format="csr", random_state=11)
+    Ac = Ac.sum_duplicates()
+    pl_ = spmv_routed_plan(np.asarray(Ac.indptr), np.asarray(Ac.indices),
+                           np.asarray(Ac.data), m, n, stack_override=1)
+    assert pl_ is not None and pl_.S == 1
+    x = rng.random(n).astype(np.float32)
+    y = np.asarray(spmv_routed(jnp.asarray(x), pl_, interpret=True))
+    want = sp.csr_matrix((np.asarray(Ac.data), np.asarray(Ac.indices),
+                          np.asarray(Ac.indptr)), shape=(m, n)) @ x
+    np.testing.assert_allclose(y, want, rtol=1e-5, atol=1e-6)
