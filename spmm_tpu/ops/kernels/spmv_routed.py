@@ -453,11 +453,21 @@ def spmv_routed_plan(indptr_host, indices_host, data_host,
             # lane-gather + select per product tile), so +26%/tile — the
             # round-2 model's 3% badly under-penalised C and picked
             # R=4/C=3 plans that LOST to R=1/C=1 despite fewer slots.
-            # Stacking penalties: S masked sub-row sums per tile (~2%/
-            # doubling) and +1 stream byte/slot for the int16 route at
-            # S = 4 (~8%) — initial estimates, tuned on v5e
-            pen_s = {1: 1.0, 2: 1.03, 4: 1.10, 8: 1.22}.get(S_c, 1.3)
-            cost = slots_c * (1.0 + 0.26 * (C_c - 1)) * pen_s
+            # Stacking penalties MEASURED on v5e (r5 job 010, S-sweep at
+            # 100k nnz, (K2-K1)·t ≈ 120 ms), net of the ~2.5 µs
+            # per-call fixed overhead: ps/slot 21.7 / 21.0 / 26.6 /
+            # 36.3 for S = 1/2/4/8 → pen 1.0/1.03/1.28/1.75 (the r4
+            # guesses 1.03/1.10/1.22 under-priced S=4/8's masked
+            # sub-row sums and picked plans that LOSE to S=2; the
+            # measured 100k ranking S2 < S4 < S1 < S8 is reproduced).
+            # The fused matsum epilogue adds a per-slot term growing
+            # with G_pad·S (the (G_pad, nrow) one-hot dot per step),
+            # ~0.005 ps · G_pad · S normalised by the ~31 ps base
+            # (r5 jobs 003/010: 51.5 → 62.3 ps/slot from m=10k → 40k
+            # at S=8, ΔG_pad·S·0.005 ≈ 9.6 ≈ measured +10.8).
+            pen_s = {1: 1.0, 2: 1.03, 4: 1.28, 8: 1.75}.get(S_c, 2.0)
+            epi = 0.00016 * G_pad_cost * S_c
+            cost = slots_c * ((1.0 + 0.26 * (C_c - 1)) * pen_s + epi)
             if best is None or cost < best[0]:
                 best = (cost, S_c, R_c, C_c, L_gc)
     if best is None:
@@ -764,9 +774,9 @@ def _fused_kernel_dense_y(hi_ref, val_ref, route_ref, oh_ref, xq_ref,
     On-device coverage (ADVICE r4 item 2): the CPU interpret suite does
     not run Mosaic's block checks — v5e smoke jobs r5/004 (caught the
     S=1/S=2 multi-step 32/64-lane one-hot block, fixed by
-    `_fused_matsum_u1f`) and r5/008 (green re-run incl. S ∈ {1,2,4,8}
+    `_fused_matsum_u1f`) and r5/010 (green re-run incl. S ∈ {1,2,4,8}
     and the stacked small-NL path) are the recorded device validations;
-    re-run the r5/008 job body after touching any BlockSpec here."""
+    re-run the r5/010 smoke block after touching any BlockSpec here."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)

@@ -130,7 +130,15 @@ def _alg2_count(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
                 m_pad: int, k: int, n: int, T: int,
                 oh_plans=(None, None)):
     """Sizing pass (the workEstimation analogue): per-row and per-tile
-    structural output counts from one pattern-matmul sweep."""
+    structural output counts from one pattern-matmul sweep.
+
+    Round 5: the full boolean structure mask is an output too — the
+    symbolic phase's result, handed to the numeric phase exactly like
+    cuSPARSE's staged SpGEMM keeps its workEstimation buffers.  The
+    unrolled compute program then needs NO pattern machinery at all
+    (no dense bf16 B pattern, no per-tile pattern matmuls): half its
+    MXU work and the b_pat/a_pat/counts buffers gone from its peak —
+    the terms that kept alg2's peak above alg1's at every grid cell."""
     _, a_pat = _densify_pair(a_indptr, a_indices, a_data, m_pad, k,
                              oh_plans[0])
     _, b_pat = _densify_pair(b_indptr, b_indices, b_data, k, n,
@@ -139,13 +147,15 @@ def _alg2_count(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
     def tile_body(_, t):
         ap = lax.dynamic_slice(a_pat, (t * TILE, _ZERO), (TILE, k))
         counts = jnp.dot(ap, b_pat, preferred_element_type=jnp.float32)
-        rowc = jnp.sum(counts > 0, axis=1, dtype=INDEX_DTYPE)
-        return 0, rowc
+        nz = counts > 0
+        rowc = jnp.sum(nz, axis=1, dtype=INDEX_DTYPE)
+        return 0, (rowc, nz)
 
-    _, rowc = lax.scan(tile_body, 0, jnp.arange(T, dtype=INDEX_DTYPE))
+    _, (rowc, nzs) = lax.scan(tile_body, 0,
+                              jnp.arange(T, dtype=INDEX_DTYPE))
     rowc = rowc.reshape(m_pad)
     tilec = rowc.reshape(T, TILE).sum(axis=1, dtype=INDEX_DTYPE)
-    return rowc, tilec
+    return rowc, tilec, nzs.reshape(m_pad, n)
 
 
 @functools.partial(
@@ -215,19 +225,23 @@ _ALG2_MAX_UNROLL_TILES = 32
     static_argnames=("m", "k", "n", "T", "nnz", "precision", "tiles_meta",
                      "tile_caps", "b_plan", "interpret"))
 def _alg2_compute_unrolled(a_indptr_pad, a_indices, a_data, b_indptr,
-                           b_indices, b_data, alpha, m: int, k: int,
+                           b_indices, b_data, mask, alpha, m: int, k: int,
                            n: int, T: int, nnz: int, precision: str,
                            tiles_meta, tile_caps, b_plan,
                            interpret: bool = False):
-    """Unrolled alg2: A is NEVER fully dense — each 128-row tile densifies
-    under its own static Pallas plan, multiplies the resident dense B,
-    extracts its EXACT per-tile segment (static size from the count
-    readback) and writes it at a static offset.  No stacked per-tile
-    arrays, no second merge pass, no cap_tile padding slack: peak is
-    O(k·n dense B + nnz output + one tile workspace), restoring the
-    alg1 > alg2 peak ordering the reference measures (258 vs 174 MB at
-    1024²/0.1, SpGEMM_alg_comparison figure).  Outputs are bitwise-equal
-    to the scan engine (same per-tile dot/sort, same write order)."""
+    """Unrolled alg2 numeric phase: A is NEVER fully dense — each
+    128-row tile densifies under its own static Pallas plan, multiplies
+    the resident dense B, extracts its EXACT per-tile segment (static
+    size from the count readback) and writes it at a static offset.
+    The structural `mask` arrives from the count program (the symbolic
+    phase's result, r5) so this program holds NO pattern machinery:
+    peak is O(k·n dense B values + m·n/8-ish bool mask + nnz output +
+    one tile workspace), restoring the alg1 > alg2 peak ordering the
+    reference measures (258 vs 174 MB at 1024²/0.1,
+    SpGEMM_alg_comparison figure) — and the per-tile pattern matmuls
+    are gone with it (half the MXU sweep).  Outputs are bitwise-equal
+    to the scan engine (same per-tile value dot, same mask semantics,
+    same write order)."""
     from spmm_tpu.ops.kernels.densify_onehot import densify_onehot
     from spmm_tpu.ops.kernels.extract_roll import (extract_roll,
                                                    extract_roll_applies)
@@ -237,7 +251,11 @@ def _alg2_compute_unrolled(a_indptr_pad, a_indices, a_data, b_indptr,
                                      _extract_shift, _extract_sort)
 
     prec = _PREC[precision]
-    bd, b_pat = _densify_pair(b_indptr, b_indices, b_data, k, n, b_plan)
+    if b_plan is not None:
+        bd, _ = densify_onehot(b_indptr, b_indices, b_data, k, n, b_plan,
+                               interpret)
+    else:
+        bd = _value_dense(b_indptr, b_indices, b_data, k, n)
     # preallocated outputs, filled in place at static offsets: each tile's
     # segment dies right after its write, so peak holds ONE tile workspace
     # (a concatenate of T segments would keep them all live plus a copy)
@@ -257,43 +275,44 @@ def _alg2_compute_unrolled(a_indptr_pad, a_indices, a_data, b_indptr,
         ixt = lax.slice(a_indices, (e0,), (e1,))
         dvt = lax.slice(a_data, (e0,), (e1,))
         if plan is not None:
-            ad, a_pat = densify_onehot(ipt, ixt, dvt, TILE, k, plan,
-                                       interpret)
+            ad, _ = densify_onehot(ipt, ixt, dvt, TILE, k, plan,
+                                   interpret)
         else:
             ad = _value_dense(ipt, ixt, dvt, TILE, k)
-            a_pat = _pattern_dense(ipt, ixt, e1 - e0, TILE, k)
         ct = jnp.dot(ad, bd, precision=prec,
                      preferred_element_type=a_data.dtype)
-        counts = jnp.dot(a_pat, b_pat, preferred_element_type=jnp.float32)
-        mask = counts > 0
+        mask_t = lax.slice(mask, (t * TILE, 0), ((t + 1) * TILE, n))
         # the alg1 extraction selector, per tile: per-tile hole counts
         # g_t are exact (static from the count readback), so the
         # sort-free shift/roll paths apply at high fill — and each pass
         # touches one tile, T× fewer bytes than the global version
         g = TILE * n - cap_t
         if g == 0:
-            _, cols_t, vals_t = _extract_full(ct, mask, TILE, n)
+            _, cols_t, vals_t = _extract_full(ct, mask_t, TILE, n)
         elif (g <= _EXTRACT_ROLL_MAX_HOLES
                 and extract_roll_applies(cap_t, _bucket_holes(g),
                                          ct.dtype)):
-            _, cols_t, vals_t = extract_roll(ct, mask, cap_t,
+            _, cols_t, vals_t = extract_roll(ct, mask_t, cap_t,
                                              _bucket_holes(g), TILE, n)
         elif g <= _SHIFT_EXTRACT_MAX_HOLES:
-            _, cols_t, vals_t = _extract_shift(ct, mask, cap_t,
+            _, cols_t, vals_t = _extract_shift(ct, mask_t, cap_t,
                                                _bucket_holes(g), TILE, n)
         else:
-            _, cols_t, vals_t = _extract_sort(ct, mask, cap_t, TILE, n)
+            _, cols_t, vals_t = _extract_sort(ct, mask_t, cap_t, TILE, n)
         cols = lax.dynamic_update_slice(cols, cols_t, (off,))
         # alpha folded per tile (no trailing O(nnz) alpha copy)
         vals = lax.dynamic_update_slice(vals, alpha * vals_t, (off,))
-        rowc_seg[t] = jnp.sum(mask, axis=1, dtype=INDEX_DTYPE)
+        rowc_seg[t] = jnp.sum(mask_t, axis=1, dtype=INDEX_DTYPE)
         off += cap_t
         # sequence the tiles: without this barrier XLA's latency-hiding
-        # scheduler overlaps every tile's (ct, counts, extract) workspace
-        # — peak grows O(T·tile_ws) and the measured alg2 peak exceeded
-        # alg1's, inverting the hierarchy the strategy exists for.  The
-        # barrier makes tile t+1's input slices depend on tile t's write,
-        # so exactly one tile workspace is live at a time.
+        # scheduler overlaps every tile's (ct, extract) workspace — peak
+        # grows O(T·tile_ws) and the measured alg2 peak exceeded alg1's,
+        # inverting the hierarchy the strategy exists for.  The barrier
+        # makes tile t+1's input slices depend on tile t's write, so
+        # exactly one tile workspace is live at a time.  (A token-chain
+        # variant that kept (cols, vals) out of the barrier measured
+        # NEUTRAL at 1024² and +17% peak at 2048²/0.1 — the output
+        # chains alias fine through the barrier; r5 job 009.)
         cols, vals, a_data = lax.optimization_barrier(
             (cols, vals, a_data))
     rowc = jnp.concatenate(rowc_seg)[:m]
@@ -321,9 +340,9 @@ def spgemm_alg2_blocked(a, b, alpha, precision: str = "highest",
     oh_plans = _onehot_plans_padded(np.asarray(a.indptr),
                                     np.asarray(b.indptr),
                                     m_pad, k, n, a.dtype)
-    rowc, tilec = _alg2_count(a_indptr, a.indices, a.data,
-                              b.indptr, b.indices, b.data,
-                              m_pad, k, n, T, oh_plans)
+    rowc, tilec, mask = _alg2_count(a_indptr, a.indices, a.data,
+                                    b.indptr, b.indices, b.data,
+                                    m_pad, k, n, T, oh_plans)
     tilec_h = np.asarray(tilec)  # host sizing readback (spMatGetSize)
     nnz = int(tilec_h.sum())
     if nnz == 0:
@@ -347,9 +366,9 @@ def spgemm_alg2_blocked(a, b, alpha, precision: str = "highest",
                   f"{int(b_plan is not None)}b")
         indptr, cols, vals = _alg2_compute_unrolled(
             a_indptr, a.indices, a.data, b.indptr, b.indices, b.data,
-            jnp.asarray(alpha, a.dtype), m, k, n, T, nnz, precision,
-            tuple(tiles_meta), tuple(int(c) for c in tilec_h), b_plan,
-            interpret)
+            mask, jnp.asarray(alpha, a.dtype), m, k, n, T, nnz,
+            precision, tuple(tiles_meta),
+            tuple(int(c) for c in tilec_h), b_plan, interpret)
         return CSR.from_parts(indptr, cols, vals, (m, n), canonical=True)
     cap_tile = _round_up(int(tilec_h.max()), 8)
     if verbose:
@@ -1106,13 +1125,15 @@ def _alg3_compute_group(a_indptr_pad, a_indices, a_data, b_ip_panels,
                 # opaque zero (sign bit of a nonnegative count): the next
                 # block's densify becomes a distinct computation (no CSE
                 # back into a resident full dense), and the barrier pins
-                # one block workspace live at a time
+                # one block workspace live at a time.  The stage buffers
+                # stay OUT of the barrier — routing them through it
+                # blocked in-place update aliasing (a second copy of
+                # each at peak); their DUS chains serialize themselves.
                 nnz_b = jnp.sum(nz, dtype=INDEX_DTYPE)
-                tok = lax.shift_right_arithmetic(
-                    nnz_b, jnp.asarray(31, INDEX_DTYPE))
-                stage_v, stage_m, tok, a_data, b_vals = \
-                    lax.optimization_barrier(
-                        (stage_v, stage_m, tok, a_data, b_vals))
+                tok, a_data, b_vals = lax.optimization_barrier(
+                    (lax.shift_right_arithmetic(
+                        nnz_b, jnp.asarray(31, INDEX_DTYPE)),
+                     a_data, b_vals))
         # extraction: each tile's stripe is already in final CSR layout —
         # the static (host-exact) hole count selects the sort-free path
         for ti in range(Gt):
@@ -1137,8 +1158,17 @@ def _alg3_compute_group(a_indptr_pad, a_indices, a_data, b_ip_panels,
                 _, _, vals_t = _extract_sort(c_t, m_t, cap_t, TILE, n)
             vals = lax.dynamic_update_slice(vals, alpha * vals_t,
                                             (offs[t],))
-        # sequence the groups (one stage + one extraction ws live)
-        vals, tok = lax.optimization_barrier((vals, tok))
+            # group-sequencing token: depends on this tile's extraction
+            # WRITE (reads back the last element just written; abs
+            # clears the sign bit so the shift is provably 0 but
+            # opaque) — without routing `vals` through a barrier, which
+            # would block in-place aliasing of its update chain
+            tok = lax.shift_right_arithmetic(
+                lax.bitcast_convert_type(
+                    jnp.abs(vals[offs[t] + cap_t - 1]).astype(
+                        jnp.float32), INDEX_DTYPE),
+                jnp.asarray(31, INDEX_DTYPE))
+        tok = lax.optimization_barrier(tok)
     return vals
 
 
