@@ -433,12 +433,19 @@ def spmv_routed_plan(indptr_host, indices_host, data_host,
             # actually stream (NLP quantum: u1f tiles for stacked plans,
             # the two-kernel 1024/128 quanta at S == 1) — raw slots made
             # S=8 beat S=4 at 100k nnz even though both pad to the same
-            # NLP and S=4's reduce is cheaper (r5)
-            NL_c = _round_up(int(L_gc.sum()), 128)
+            # NLP and S=4's reduce is cheaper (r5).  S=1 candidates are
+            # priced with the seg-alignment padding they will actually
+            # take (and at the matsum rate when seg2 cannot apply).
             if S_c == 1:
+                Lp_c = _seg2_padded_budgets(L_gc, nnz)
+                seg2_ok = Lp_c is not None and ngroups <= 8191
+                NL_c = _round_up(
+                    int((Lp_c if seg2_ok else L_gc).sum()), 128)
                 NLP_c = max(_round_up(NL_c, U1 * 128),
                             _round_up(NL_c, SB * U2))
+                pen_1 = 1.0 if seg2_ok else 1.08
             else:
+                NL_c = _round_up(int(L_gc.sum()), 128)
                 NLP_c = _round_up(
                     NL_c, (4 if NL_c > U1F_SMALL_NL else 2) * 128)
             slots_c = NLP_c * 128
@@ -453,19 +460,25 @@ def spmv_routed_plan(indptr_host, indices_host, data_host,
             # lane-gather + select per product tile), so +26%/tile — the
             # round-2 model's 3% badly under-penalised C and picked
             # R=4/C=3 plans that LOST to R=1/C=1 despite fewer slots.
-            # Stacking penalties MEASURED on v5e (r5 job 010, S-sweep at
-            # 100k nnz, (K2-K1)·t ≈ 120 ms), net of the ~2.5 µs
-            # per-call fixed overhead: ps/slot 21.7 / 21.0 / 26.6 /
-            # 36.3 for S = 1/2/4/8 → pen 1.0/1.03/1.28/1.75 (the r4
-            # guesses 1.03/1.10/1.22 under-priced S=4/8's masked
-            # sub-row sums and picked plans that LOSE to S=2; the
-            # measured 100k ranking S2 < S4 < S1 < S8 is reproduced).
-            # The fused matsum epilogue adds a per-slot term growing
-            # with G_pad·S (the (G_pad, nrow) one-hot dot per step),
-            # ~0.005 ps · G_pad · S normalised by the ~31 ps base
-            # (r5 jobs 003/010: 51.5 → 62.3 ps/slot from m=10k → 40k
-            # at S=8, ΔG_pad·S·0.005 ≈ 9.6 ≈ measured +10.8).
-            pen_s = {1: 1.0, 2: 1.03, 4: 1.28, 8: 1.75}.get(S_c, 2.0)
+            # Stacking penalties MEASURED on v5e (r5 jobs 010/012,
+            # S-sweeps at 100k/1M/1.34M nnz with (K2-K1)·t ≥ 100 ms):
+            # the S=1 seg2 kernel runs at 19.8-20.2 ps/slot while EVERY
+            # stacked plan reduces via matsum at 24.4 (S=2) / 27.4
+            # (S=4) / ~36 (S=8) — so stacking pays only where its slot
+            # savings exceed ~21% (true at 100k nnz: 2.62 → 1.97; false
+            # at the 1M/16k configs, where S=1+seg2 measured 34.3/34.4
+            # Gnnz/s vs S=2's 32.9/31.0).  The r4 pens (1.03/1.10/1.22)
+            # got both regimes wrong.  The fused matsum epilogue adds a
+            # per-slot term growing with G_pad·S (the (G_pad, nrow)
+            # one-hot dot per step): ~0.005 ps · G_pad · S against the
+            # ~31 ps base (jobs 003/010: 51.5 → 62.3 ps/slot from
+            # m=10k → 40k at S=8, ΔG_pad·S·0.005 ≈ 9.6 ≈ measured
+            # +10.8).  S=1 is priced at the seg2 rate — tiny-budget
+            # plans where seg2 cannot apply land on matsum at a similar
+            # net rate (21.7 measured at 100k), so the error is small
+            # and errs toward the simpler plan.
+            pen_s = {1: pen_1 if S_c == 1 else 1.0, 2: 1.21, 4: 1.45,
+                     8: 1.9}.get(S_c, 2.2)
             epi = 0.00016 * G_pad_cost * S_c
             cost = slots_c * ((1.0 + 0.26 * (C_c - 1)) * pen_s + epi)
             if best is None or cost < best[0]:
@@ -504,25 +517,9 @@ def spmv_routed_plan(indptr_host, indices_host, data_host,
     # budgets and the per-sub-block fallback kernel runs instead.
     TU = 128 // SB
     if S == 1:
-        Lu = (L_g // SB).astype(np.int64)
-        Lp = Lu.copy()
-        cum = 0
-        last_t = -1
-        for g in range(ngroups - 1):
-            end = cum + int(Lp[g])
-            if end % TU:
-                t = end // TU
-                if t == last_t:
-                    Lp[g] += TU - end % TU
-                    end = cum + int(Lp[g])
-                else:
-                    last_t = t
-            cum = end
-        padded_slots = int(Lp.sum()) * SB * 128
-        if (int(Lp.sum()) <= (1.0 + SEG_PAD_FRAC) * int(Lu.sum())
-                and padded_slots <= 8 * max(nnz, 1)
-                and padded_slots <= (1 << 27)):
-            L_g = Lp * SB
+        Lp = _seg2_padded_budgets(L_g, nnz)
+        if Lp is not None:
+            L_g = Lp
 
     lane_local, sub = _color_groups(sgr, cls, rho, nsuper, m128, R, L_g)
     if lane_local is None:
@@ -808,6 +805,39 @@ def _fused_kernel_dense_y(hi_ref, val_ref, route_ref, oh_ref, xq_ref,
     y_ref[...] += jnp.dot(oh_ref[...], sub,
                           precision=lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32)
+
+
+def _seg2_padded_budgets(L_g, nnz: int):
+    """Seg-aligned group budgets (lanes, multiples of SB) or None.
+
+    Aligns budgets so no 128-lane-row tile spans more than TWO groups —
+    then every tile's y updates collapse to 2 (prefix/suffix masked
+    sums, the branch-free seg2 kernel).  Walk groups: if a group ends
+    mid-tile and another group already ended in that tile, pad it to
+    the tile end.  Accepted only when the added slack stays under
+    SEG_PAD_FRAC and the slot caps; None ⇒ the caller keeps unpadded
+    budgets (per-sub-block fallback / matsum reduce)."""
+    TU = 128 // SB
+    Lu = (np.asarray(L_g) // SB).astype(np.int64)
+    Lp = Lu.copy()
+    cum = 0
+    last_t = -1
+    for g in range(len(Lu) - 1):
+        end = cum + int(Lp[g])
+        if end % TU:
+            t = end // TU
+            if t == last_t:
+                Lp[g] += TU - end % TU
+                end = cum + int(Lp[g])
+            else:
+                last_t = t
+        cum = end
+    padded_slots = int(Lp.sum()) * SB * 128
+    if (int(Lp.sum()) <= (1.0 + SEG_PAD_FRAC) * int(Lu.sum())
+            and padded_slots <= 8 * max(nnz, 1)
+            and padded_slots <= (1 << 27)):
+        return Lp * SB
+    return None
 
 
 def _fused_matsum_u1f(NL: int, S: int, u1f: int, nsteps: int):

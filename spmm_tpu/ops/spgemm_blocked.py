@@ -263,6 +263,7 @@ def _alg2_compute_unrolled(a_indptr_pad, a_indices, a_data, b_indptr,
     vals = jnp.zeros((nnz,), a_data.dtype)
     rowc_seg = [None] * T
     off = 0
+    tok = jnp.zeros((), INDEX_DTYPE)
     for t in range(T):
         e0, e1, plan = tiles_meta[t]
         cap_t = min(tile_caps[t], nnz - off)
@@ -272,7 +273,7 @@ def _alg2_compute_unrolled(a_indptr_pad, a_indices, a_data, b_indptr,
         ipt = (lax.slice(a_indptr_pad, (t * TILE,),
                          (t * TILE + TILE + 1,))
                - jnp.asarray(e0, INDEX_DTYPE))
-        ixt = lax.slice(a_indices, (e0,), (e1,))
+        ixt = lax.slice(a_indices, (e0,), (e1,)) + tok
         dvt = lax.slice(a_data, (e0,), (e1,))
         if plan is not None:
             ad, _ = densify_onehot(ipt, ixt, dvt, TILE, k, plan,
@@ -304,17 +305,24 @@ def _alg2_compute_unrolled(a_indptr_pad, a_indices, a_data, b_indptr,
         vals = lax.dynamic_update_slice(vals, alpha * vals_t, (off,))
         rowc_seg[t] = jnp.sum(mask_t, axis=1, dtype=INDEX_DTYPE)
         off += cap_t
-        # sequence the tiles: without this barrier XLA's latency-hiding
+        # sequence the tiles: without this XLA's latency-hiding
         # scheduler overlaps every tile's (ct, extract) workspace — peak
-        # grows O(T·tile_ws) and the measured alg2 peak exceeded alg1's,
-        # inverting the hierarchy the strategy exists for.  The barrier
-        # makes tile t+1's input slices depend on tile t's write, so
-        # exactly one tile workspace is live at a time.  (A token-chain
-        # variant that kept (cols, vals) out of the barrier measured
-        # NEUTRAL at 1024² and +17% peak at 2048²/0.1 — the output
-        # chains alias fine through the barrier; r5 job 009.)
-        cols, vals, a_data = lax.optimization_barrier(
-            (cols, vals, a_data))
+        # grows O(T·tile_ws).  CRITICAL (r5 job 013): the accumulators
+        # (cols, vals) must have EXACTLY ONE consumer per step — the
+        # next dynamic_update_slice — for XLA to update them in place.
+        # Routing them through optimization_barrier (r4) or reading an
+        # element back for a token (r5 job 009) adds a second use and
+        # costs a FULL COPY of both buffers at peak (a minimal 2x4 MB
+        # DUS-chain probe measured 36 MiB where in-place is 20).  The
+        # token therefore derives from the extraction OUTPUT (vals_t):
+        # tile t+1's densify waits on tile t's extraction, workspaces
+        # stay bounded, and the update chains alias freely.
+        tok, a_data = lax.optimization_barrier(
+            (lax.shift_right_arithmetic(
+                lax.bitcast_convert_type(
+                    jnp.abs(vals_t[0]).astype(jnp.float32), INDEX_DTYPE),
+                jnp.asarray(31, INDEX_DTYPE)),
+             a_data))
     rowc = jnp.concatenate(rowc_seg)[:m]
     indptr = jnp.concatenate(
         [jnp.zeros((1,), INDEX_DTYPE),
@@ -788,9 +796,12 @@ def _alg3_compute_unrolled(a_indptr_pad, a_indices, a_data, b_ip_panels,
         # alpha folded into the merge write (no trailing alpha copy)
         valbuf = lax.dynamic_update_slice(
             valbuf, alpha * vv_s[:cap_tile], (offs[t],))
-        colbuf, valbuf = lax.optimization_barrier((colbuf, valbuf))
-        ztok = lax.shift_right_arithmetic(colbuf[0],
-                                          jnp.asarray(31, INDEX_DTYPE))
+        # token from the SORT OUTPUT, not the accumulators: reading
+        # colbuf back (or routing it through a barrier) adds a second
+        # use and XLA copies both buffers at peak (r5 job 013)
+        ztok = lax.optimization_barrier(
+            lax.shift_right_arithmetic(gf_s[0],
+                                       jnp.asarray(31, INDEX_DTYPE)))
     return colbuf[:nnz], valbuf[:nnz]
 
 
@@ -1158,15 +1169,14 @@ def _alg3_compute_group(a_indptr_pad, a_indices, a_data, b_ip_panels,
                 _, _, vals_t = _extract_sort(c_t, m_t, cap_t, TILE, n)
             vals = lax.dynamic_update_slice(vals, alpha * vals_t,
                                             (offs[t],))
-            # group-sequencing token: depends on this tile's extraction
-            # WRITE (reads back the last element just written; abs
+            # group-sequencing token from the extraction OUTPUT (abs
             # clears the sign bit so the shift is provably 0 but
-            # opaque) — without routing `vals` through a barrier, which
-            # would block in-place aliasing of its update chain
+            # opaque).  NOT from `vals` — the accumulator must keep
+            # exactly one consumer per step (the next update) or XLA
+            # copies it at peak (r5 job 013's DUS-chain probe).
             tok = lax.shift_right_arithmetic(
                 lax.bitcast_convert_type(
-                    jnp.abs(vals[offs[t] + cap_t - 1]).astype(
-                        jnp.float32), INDEX_DTYPE),
+                    jnp.abs(vals_t[0]).astype(jnp.float32), INDEX_DTYPE),
                 jnp.asarray(31, INDEX_DTYPE))
         tok = lax.optimization_barrier(tok)
     return vals
