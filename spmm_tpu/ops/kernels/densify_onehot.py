@@ -154,6 +154,39 @@ def _kernel(r0s_ref, wqs_ref, collo_ref, vhi_ref, vmid_ref, vlo_ref,
         pat_ref[pl.ds(s, WQ), :] += patc.astype(jnp.bfloat16)
 
 
+def _kernel_val(r0s_ref, wqs_ref, collo_ref, vhi_ref, vmid_ref,
+                vlo_ref, out_ref, *, WQ: int, KQ: int, CH: int, U: int):
+    """`_kernel` without the structural-pattern output: one fewer MXU
+    pass and no bf16 pattern store/buffer — for consumers that carry
+    the structure separately (alg2's numeric phase receives the mask
+    from the count program, r5)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    for j in range(U):
+        r0 = r0s_ref[i * U + j]
+        wq = wqs_ref[:, j:j + 1] - r0 * KQ
+        eq_t = (wq == lax.broadcasted_iota(INDEX_DTYPE, (CH, WQ), 1)
+                ).astype(jnp.bfloat16)
+        rohb = (collo_ref[:, j:j + 1]
+                == lax.broadcasted_iota(INDEX_DTYPE, (CH, 128), 1)
+                ).astype(jnp.bfloat16)
+
+        def mm(f, eq_t=eq_t):
+            return lax.dot_general(
+                eq_t, f, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        acc = ((mm(rohb * vhi_ref[:, j:j + 1])
+                + mm(rohb * vmid_ref[:, j:j + 1]))
+               + mm(rohb * vlo_ref[:, j:j + 1]))
+        s = pl.multiple_of(r0 * KQ, 8 * KQ)
+        out_ref[pl.ds(s, WQ), :] += acc
+
+
 def _pack_lanes(x, nsteps: int, U: int, CH: int):
     """(nsteps*U*CH,) → (nsteps*CH, U): sub-chunk index on lanes."""
     return x.reshape(nsteps, U, CH).transpose(0, 2, 1).reshape(
@@ -161,11 +194,14 @@ def _pack_lanes(x, nsteps: int, U: int, CH: int):
 
 
 @functools.partial(
-    memtrace.jit, static_argnames=("m", "k", "plan", "interpret"))
+    memtrace.jit,
+    static_argnames=("m", "k", "plan", "interpret", "with_pattern"))
 def densify_onehot(indptr, indices, data, m: int, k: int, plan,
-                   interpret: bool = False):
+                   interpret: bool = False, with_pattern: bool = True):
     """Dense (m, k) f32 values + (m, k) bf16 structural 0/1 pattern from a
-    canonical CSR.  `plan` comes from `densify_onehot_plan` (static)."""
+    canonical CSR.  `plan` comes from `densify_onehot_plan` (static).
+    `with_pattern=False` runs the value-only kernel (one fewer MXU pass,
+    no pattern buffer) and returns (values, None)."""
     from spmm_tpu.ops import _primitives as prim
 
     r0s_t, W, CH, U = plan
@@ -200,6 +236,7 @@ def densify_onehot(indptr, indices, data, m: int, k: int, plan,
     lo = _pack_lanes(lo, nsteps, U, CH)
     r0s = jnp.asarray(r0s_t, INDEX_DTYPE)
 
+    nouts = 2 if with_pattern else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nsteps,),
@@ -212,22 +249,24 @@ def densify_onehot(indptr, indices, data, m: int, k: int, plan,
         ],
         out_specs=[
             pl.BlockSpec((m_pad * KQ, 128), lambda i, r0s: (0, 0)),
-            pl.BlockSpec((m_pad * KQ, 128), lambda i, r0s: (0, 0)),
-        ],
+        ] * nouts,
     )
-    out, pat = pl.pallas_call(
-        functools.partial(_kernel, WQ=WQ, KQ=KQ, CH=CH, U=U),
+    kern = _kernel if with_pattern else _kernel_val
+    outs = pl.pallas_call(
+        functools.partial(kern, WQ=WQ, KQ=KQ, CH=CH, U=U),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((m_pad * KQ, 128), jnp.float32),
             jax.ShapeDtypeStruct((m_pad * KQ, 128), jnp.bfloat16),
-        ],
+        ][:nouts],
         # the U-way unrolled body's one-hot temporaries can exceed the
         # default 16 MB scoped-VMEM stack at dense configs (observed at
         # 512²/0.5: 17.7 MB); v5e has 128 MB of VMEM — raise the limit
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(r0s, wqb, collo, hi, mid, lo)
-    val = out.reshape(m_pad, k_pad)[:m, :k]
-    patm = pat.reshape(m_pad, k_pad)[:m, :k]
+    val = outs[0].reshape(m_pad, k_pad)[:m, :k]
+    if not with_pattern:
+        return val, None
+    patm = outs[1].reshape(m_pad, k_pad)[:m, :k]
     return val, patm

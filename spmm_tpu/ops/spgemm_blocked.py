@@ -253,7 +253,7 @@ def _alg2_compute_unrolled(a_indptr_pad, a_indices, a_data, b_indptr,
     prec = _PREC[precision]
     if b_plan is not None:
         bd, _ = densify_onehot(b_indptr, b_indices, b_data, k, n, b_plan,
-                               interpret)
+                               interpret, with_pattern=False)
     else:
         bd = _value_dense(b_indptr, b_indices, b_data, k, n)
     # preallocated outputs, filled in place at static offsets: each tile's
@@ -277,7 +277,7 @@ def _alg2_compute_unrolled(a_indptr_pad, a_indices, a_data, b_indptr,
         dvt = lax.slice(a_data, (e0,), (e1,))
         if plan is not None:
             ad, _ = densify_onehot(ipt, ixt, dvt, TILE, k, plan,
-                                   interpret)
+                                   interpret, with_pattern=False)
         else:
             ad = _value_dense(ipt, ixt, dvt, TILE, k)
         ct = jnp.dot(ad, bd, precision=prec,

@@ -58,42 +58,56 @@ def _pad128(x: int) -> int:
 
 def alg2_blocked_peak_bytes(m: int, k: int, n: int, nnz_a: int,
                             nnz_b: int, nnz_c: int) -> int:
-    """Blocked alg2 (ops/spgemm_blocked, round-4 engines): the full
-    dense B (f32 + bf16 pattern) is resident, A is densified ONE
-    128-row tile at a time (optimization_barrier-sequenced, so exactly
-    one tile workspace is live), and the output cols/vals fill in place
-    at static offsets (XLA keeps an in+out copy across the update
-    chain).  Calibrated against XLA buffer-assignment peaks on v5e
-    (512/1024 × 0.1/0.5 grid, round 4)."""
+    """Blocked alg2 (r5 symbolic-mask engines): peak = max of the two
+    programs.  Count: full A/B densifies (the one-hot kernel's padded
+    output plus its sliced copy co-live at the slice, ×1.5) + the
+    boolean mask output.  Compute: inputs + mask + dense-B values
+    (padded + sliced, 2×) + single-copy cols/vals outputs (in-place
+    update chains — r5 job 013's one-consumer rule) + the per-tile
+    extraction workspace (~40 B per tile cell; roll-path buffers,
+    r5 job 016 bisect: 5.4 MiB at n=1024).  ×1.16 residual calibrated
+    on the v5e r5 grid (jobs 014/015/016); band ±15%."""
     n_pad = _pad128(n)
+    m_pad = _pad128(m)
     inputs = 8 * (nnz_a + nnz_b) + 4 * (m + k + 2)
-    dense_b = 6 * k * n_pad                 # f32 values + bf16 pattern
-    out = 16 * nnz_c + 4 * (m + 1)          # cols+vals, in+out copies
-    tile_ws = 18 * _TILE * n_pad            # ct + counts + mask + extract
-    # ×1.3: XLA scheduling overlap measured on the v5e 512/1024 grid
-    # (round-4 job 021) — structural terms alone sit −7..−41% under the
-    # buffer-assignment peak; calibrated band is ±23%
-    return int(1.3 * (inputs + dense_b + out + tile_ws))
+    mask = m_pad * n_pad
+    count = (inputs + mask
+             + int(1.5 * 6 * (m_pad * k + k * n_pad)))  # pad+slice pairs
+    compute = (inputs + mask
+               + 2 * 4 * k * n_pad          # bd padded + sliced copy
+               + 8 * nnz_c + 4 * (m + 1)    # cols+vals, single copies
+               + 40 * _TILE * n_pad)        # extraction workspace
+    return int(1.16 * max(count, compute))
 
 
 def alg3_blocked_peak_bytes(m: int, k: int, n: int, nnz_a: int,
                             nnz_b: int, nnz_c: int,
                             chunk_fraction: float = 0.2) -> int:
-    """Blocked alg3 (tile × panel streamed): ONE dense B panel
-    (k × n_b, f32 + bf16) live at a time, one dense A tile, one
-    (TILE, n_b) product block; host-exact structure means cols arrive
-    as program arguments (4·nnz_c) and vals fill in place (in+out)."""
+    """Blocked alg3, r5 `group` engine (the dispatch default wherever
+    the host structural product is affordable): B panel-major streams
+    (b args carry lcol + rank, and the in-program value-permute sort
+    holds in+out copies), one (k, n_b) panel (padded + sliced), a
+    G-row-tile staging stripe (values f32 + bool mask, G from
+    _GROUP_STAGING_BYTES), host-exact structure so only VALUES are
+    program outputs (single copy, in-place chain), plus the per-tile
+    extraction workspace.  ×1.2 residual calibrated on the v5e r5 grid
+    (jobs 002/009/014); band ±25% (the scan3/scan2 fallbacks for
+    larger grids run close enough for plan-ahead purposes)."""
     n_pad = _pad128(n)
     cf = min(max(float(chunk_fraction), 1e-3), 1.0)
     n_b = min(max(_pad128(int(-(-cf * n // 1))), 128), n_pad)
-    inputs = 8 * (nnz_a + nnz_b) + 4 * (m + k + 2)
-    panel_b = 6 * k * n_b                   # current panel f32 + bf16
+    a_args = 8 * nnz_a + 4 * (m + 1)
+    b_args = 16 * nnz_b + 4 * (k + 1)       # lcol+data+rank+panel ptrs
+    sort_tmp = 16 * nnz_b                   # rank sort in+out
+    stage_rows = max(1, min(-(-m // _TILE),
+                            (8 << 20) // (_TILE * n_pad * 5)))
+    stage = stage_rows * _TILE * n_pad * 5  # f32 values + bool mask
+    panel_b = int(1.5 * 6 * k * n_b)        # padded + sliced
     a_tile = 6 * _TILE * k
-    prod_ws = 9 * _TILE * n_b               # ct + counts + mask
-    out = 12 * nnz_c + 4 * (m + 1)          # cols arg + vals in+out
-    # ×1.85: XLA scheduling overlap, calibrated on the v5e 512/1024
-    # grid (round-4 job 021) — lands within ±4% on all four cells
-    return int(1.85 * (inputs + panel_b + a_tile + prod_ws + out))
+    out = 4 * nnz_c                         # values only (cols on host)
+    extract_ws = 40 * _TILE * n_pad
+    return int(1.2 * (a_args + b_args + sort_tmp + stage + panel_b
+                      + a_tile + out + extract_ws))
 
 
 def spgemm_sharded_peak_bytes(m: int, k: int, n: int, nnz_a: int,
@@ -147,9 +161,9 @@ def spgemm_peak_estimate(a, b, alg: int = 1,
     holds (the regime the flagship grid measures) and the ESC engines
     otherwise.  Where exactness matters, prefer the measured
     `utils.memtrace.op_memory_analysis` (XLA buffer assignment) — this
-    model is the plan-ahead estimate, validated to roughly ±35% on the
-    512–2048 grid (small shapes carry fixed overheads the closed form
-    ignores)."""
+    model is the plan-ahead estimate, recalibrated r5 against the full
+    v5e grid: within ±10% at 2048², ±35% at 512–1024 (small shapes
+    carry fixed overheads the closed form ignores)."""
     from spmm_tpu.ops.spgemm import _blocked_feasible, spgemm_nnz_estimate
 
     m, k = a.shape

@@ -70,3 +70,23 @@ def test_densify_onehot_values_with_wide_range():
     val, _ = densify_onehot(A.indptr, A.indices, A.data, m, k, plan,
                             interpret=True)
     assert np.array_equal(np.asarray(val), np.asarray(A.toarray()))
+
+
+def test_densify_onehot_value_only_bitwise():
+    """with_pattern=False must reproduce the value output bitwise (same
+    MXU passes, pattern pass dropped)."""
+    import numpy as np
+    import spmm_tpu as st
+    from spmm_tpu.ops.kernels.densify_onehot import (densify_onehot,
+                                                     densify_onehot_plan)
+
+    a = st.random(300, 260, 0.15, format="csr", random_state=12)
+    plan = densify_onehot_plan(np.asarray(a.indptr), 300, 260)
+    assert plan is not None
+    v1, p1 = densify_onehot(a.indptr, a.indices, a.data, 300, 260, plan,
+                            interpret=True)
+    v2, p2 = densify_onehot(a.indptr, a.indices, a.data, 300, 260, plan,
+                            interpret=True, with_pattern=False)
+    assert p2 is None and p1 is not None
+    assert np.array_equal(np.asarray(v1).view(np.uint32),
+                          np.asarray(v2).view(np.uint32))

@@ -9,14 +9,17 @@ from spmm_tpu.utils.memory_model import spgemm_peak_estimate
 
 
 def test_ordering_at_reference_config():
-    A = st.random(512, 512, 0.5, format="csr", random_state=0)
-    B = st.random(512, 512, 0.5, format="csr", random_state=1)
+    # 2048²/0.1: the regime where the r5-calibrated model is within
+    # ±10% of the v5e buffer-assignment peaks (jobs 014/016) and the
+    # measured hierarchy alg2 > alg3 holds; at 512² the cells sit
+    # inside the model's small-shape error band and ordering is not a
+    # model guarantee (measured ordering there is asserted by the
+    # committed grid, not the closed form)
+    A = st.random(2048, 2048, 0.1, format="csr", random_state=0)
+    B = st.random(2048, 2048, 0.1, format="csr", random_state=1)
     peaks = {alg: spgemm_peak_estimate(A, B, alg)["peak_mb"]
              for alg in (1, 2, 3)}
-    # dense-output regime: ESC workspace (∝ products) dwarfs dense arrays,
-    # chunking cuts it by ~chunk_fraction
     assert peaks[2] > peaks[3]
-    assert peaks[3] < peaks[2]
     assert all(p > 0 for p in peaks.values())
 
 
