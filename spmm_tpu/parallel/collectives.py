@@ -92,6 +92,30 @@ def psum_dense(x, mesh: Mesh, axis: str):
     return prog(x)
 
 
+def barrier(mesh: Mesh, axis: str) -> None:
+    """Synchronization barrier over a mesh axis.
+
+    The reference's `NCCLBackend.barrier` (_nccl_comm.py:139-307)
+    all-reduces a dummy scalar so every rank blocks until the whole group
+    reaches the call.  The TPU analogue: a 1-element `psum` rides ICI and
+    the host blocks on the result, so control returns only after every
+    device in the axis has executed the program.  For multi-host process
+    synchronization outside a program, prefer
+    `jax.experimental.multihost_utils.sync_global_devices`.
+    """
+
+    def build():
+        @functools.partial(shard_map, mesh=mesh, in_specs=P(),
+                           out_specs=P())
+        def step(tok):
+            return jax.lax.psum(tok, axis)
+
+        return step
+
+    prog = _cached_program_local(("barrier", mesh, axis), build)
+    jax.block_until_ready(prog(jnp.ones((1,), jnp.int32)))
+
+
 def reduce_scatter_dense(x, mesh: Mesh, axis: str):
     """Dense reduce-scatter (`NCCLBackend.reduce_scatter`,
     _nccl_comm.py:139-307): shard d receives rows [d·m/D, (d+1)·m/D) of

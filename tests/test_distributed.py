@@ -163,6 +163,14 @@ def test_psum_dense(mesh):
     np.testing.assert_allclose(np.asarray(got), x.sum(axis=0), rtol=1e-6)
 
 
+def test_barrier(mesh):
+    # Completes only after every device in the axis runs the program
+    # (NCCLBackend.barrier analogue); returns None, must not raise.
+    assert pp.collectives.barrier(mesh, "rows") is None
+    # idempotent / cached-program reuse
+    assert pp.collectives.barrier(mesh, "rows") is None
+
+
 def test_spgemm_summa_2d():
     from spmm_tpu.parallel.summa import make_mesh_2d, spgemm_summa
 
