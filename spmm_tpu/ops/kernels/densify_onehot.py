@@ -108,7 +108,17 @@ def densify_onehot_plan(indptr_host, m: int, k: int,
         w += align
     if w > w_max:
         return None
-    if (m + w) * k_pad * 6 > _VMEM_OUT_BUDGET:
+    # Clamp window starts so every window fits inside the aligned output
+    # height m_out = max(round_up(m, align), w): the buffer then has NO
+    # tail padding past round_up(m, align), so the caller's [:m] slice is
+    # a no-op at aligned m and XLA never materializes a second dense copy
+    # (the r5 "co-live at the slice" 2x transient).  Moving a window down
+    # keeps its entries in range: row_e <= m-1 <= m_out-1 = r0'+w-1, and
+    # the store offset is absolute (r0·KQ + (wq − r0·KQ)), so outputs are
+    # bitwise unchanged.
+    m_out = max(_round_up(m, align), w)
+    r0 = np.minimum(r0, m_out - w)
+    if m_out * k_pad * 6 > _VMEM_OUT_BUDGET:
         return None
     # scoped-stack estimate for the U-way unrolled body: per sub-chunk the
     # live bf16 temporaries are EQᵀ (CH, W·KQ), R (CH, 128) and the three
@@ -210,7 +220,10 @@ def densify_onehot(indptr, indices, data, m: int, k: int, plan,
     k_pad = _round_up(k, 128)
     KQ = k_pad // 128
     WQ = W * KQ
-    m_pad = m + W
+    # aligned output height — matches the plan's window-clamp rule, so
+    # the [:m] slice below is a no-op whenever m is already aligned
+    align = 16 if KQ == 1 else 8
+    m_pad = max(_round_up(m, align), W)
     nnz = data.shape[0]
     n_pad_total = nchunks * CH
 

@@ -282,7 +282,14 @@ def _alg2_compute_unrolled(a_indptr_pad, a_indices, a_data, b_indptr,
             ad = _value_dense(ipt, ixt, dvt, TILE, k)
         ct = jnp.dot(ad, bd, precision=prec,
                      preferred_element_type=a_data.dtype)
-        mask_t = lax.slice(mask, (t * TILE, 0), ((t + 1) * TILE, n))
+        # gate the mask slice on the tile token as well: the extraction
+        # PREFIX (hole cumsum / h2) depends only on `mask`, so without
+        # this XLA hoists every tile's ~0.8 MB prefix workspace to the
+        # front and they are all co-live.  `mask` is read-only (no DUS
+        # chain), so the extra barrier use costs no copy (r5 job 013
+        # rule applies to in-place accumulators only).
+        mask_g, _ = lax.optimization_barrier((mask, tok))
+        mask_t = lax.slice(mask_g, (t * TILE, 0), ((t + 1) * TILE, n))
         # the alg1 extraction selector, per tile: per-tile hole counts
         # g_t are exact (static from the count readback), so the
         # sort-free shift/roll paths apply at high fill — and each pass
