@@ -46,8 +46,17 @@ class SparseMatrix:
     def nnz(self) -> int:
         return int(self.data.shape[0])
 
-    def getnnz(self) -> int:
-        return self.nnz
+    def getnnz(self, axis=None):
+        """Stored-entry count, total or per row/column (scipy `getnnz`)."""
+        if axis is None:
+            return self.nnz
+        if axis in (0, -2):
+            coo = self.tocoo()
+            return np.bincount(np.asarray(coo.col), minlength=self.shape[1])
+        if axis in (1, -1):
+            coo = self.tocoo()
+            return np.bincount(np.asarray(coo.row), minlength=self.shape[0])
+        raise ValueError(f"axis out of range: {axis}")
 
     @property
     def density(self) -> float:
@@ -79,11 +88,21 @@ class SparseMatrix:
 
         return _dia.coo_to_dia(self.tocoo())
 
-    def todense(self):
-        return self.toarray()
+    def todense(self, order=None, out=None):
+        return self.toarray(order=order, out=out)
 
-    def toarray(self):  # pragma: no cover - abstract
+    def toarray(self, order=None, out=None):  # pragma: no cover - abstract
         raise NotImplementedError
+
+    @staticmethod
+    def _check_order(order, out):
+        """Validate scipy/cupy `toarray(order=, out=)` arguments.  XLA
+        arrays have no Fortran layout; 'F' is accepted and returns the
+        same values (layout is an XLA-internal concern on TPU)."""
+        if order not in (None, 'C', 'F', 'c', 'f'):
+            raise TypeError(f'order not understood: {order!r}')
+        if out is not None:
+            raise ValueError('sparse toarray does not support out=')
 
     def asformat(self, format: str):
         if format is None or format == self.format:
@@ -105,6 +124,72 @@ class SparseMatrix:
 
     def astype(self, dtype):
         return self._with_data(self.data.astype(dtype))
+
+    def asfptype(self):
+        """Upcast to a floating-point dtype if not already one (scipy
+        `asfptype`; float32 is the TPU-native target for integer data)."""
+        if jnp.issubdtype(self.dtype, jnp.floating) or jnp.issubdtype(
+                self.dtype, jnp.complexfloating):
+            return self
+        return self.astype(jnp.float32)
+
+    def __len__(self):
+        raise TypeError("sparse matrix length is ambiguous; "
+                        "use getnnz() or shape[0]")
+
+    def __iter__(self):
+        # row iteration, like scipy (legacy protocol would loop forever
+        # without an explicit __iter__/IndexError); non-CSR formats
+        # iterate via their CSR view
+        mat = self if self.format == "csr" else self.tocsr()
+        for i in range(self.shape[0]):
+            yield mat[i]
+
+    def reshape(self, *shape, order="C"):
+        """Reshape to a 2-D shape with the same element count (scipy
+        `reshape`): flat position is preserved in the given order."""
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+            shape = tuple(shape[0])
+        if len(shape) != 2:
+            raise ValueError("sparse reshape requires a 2-D shape")
+        m2, n2 = shape
+        m, n = self.shape
+        if m2 == -1:
+            m2 = (m * n) // n2
+        if n2 == -1:
+            n2 = (m * n) // m2
+        if m2 * n2 != m * n:
+            raise ValueError(f"cannot reshape {self.shape} into {shape}")
+        if order not in ("C", "F"):
+            raise ValueError("order must be 'C' or 'F'")
+        from spmm_tpu.sparse.coo import COO
+
+        coo = self.tocoo()
+        row = np.asarray(coo.row, np.int64)
+        col = np.asarray(coo.col, np.int64)
+        if order == "C":
+            flat = row * n + col
+            r2, c2 = flat // n2, flat % n2
+        else:
+            flat = col * m + row
+            r2, c2 = flat % m2, flat // m2
+        out = COO((coo.data, (r2, c2)), shape=(int(m2), int(n2)))
+        return out.asformat(self.format) if self.format in (
+            "csr", "csc", "coo") else out
+
+    def resize(self, shape):
+        """Resize in place (scipy `resize`): entries outside the new
+        shape are dropped.  Returns None like scipy."""
+        m2, n2 = int(shape[0]), int(shape[1])
+        coo = self.tocoo()
+        row = np.asarray(coo.row)
+        col = np.asarray(coo.col)
+        keep = (row < m2) & (col < n2)
+        from spmm_tpu.sparse.coo import COO
+
+        out = COO((np.asarray(coo.data)[keep], (row[keep], col[keep])),
+                  shape=(m2, n2)).asformat(self.format)
+        self.__dict__.update(out.__dict__)
 
     # -- scipy bridge (host-side; used by tests and serialization) ---------
 
@@ -142,6 +227,11 @@ class SparseMatrix:
         return dispatch.rmatmul(self, other)
 
     def dot(self, other):
+        # scipy `.dot` accepts scalars (routes to scalar multiply);
+        # `@` rejects them (test_csr.py test_dot_scalar vs matmul)
+        if np.isscalar(other) or (
+                hasattr(other, "ndim") and other.ndim == 0):
+            return self.__mul__(other)
         from spmm_tpu.ops import dispatch
 
         return dispatch.matmul(self, other)
@@ -215,19 +305,95 @@ class SparseMatrix:
         denom = m if axis in (0, -2) else n
         return self.sum(axis=axis) / denom
 
-    def max(self):
-        coo = self.tocoo()
-        explicit = jnp.max(coo.data) if self.nnz else jnp.asarray(0, self.dtype)
-        if self.nnz < self.shape[0] * self.shape[1]:
-            return jnp.maximum(explicit, jnp.asarray(0, self.dtype))
-        return explicit
+    def max(self, axis=None, out=None, *, explicit=False):
+        """Maximum, whole-matrix or along an axis (`_data.py:260-295`).
 
-    def min(self):
+        Implicit zeros participate unless `explicit=True` (reduce stored
+        values only).  Axis reductions return a sparse (1, n) / (m, 1)
+        matrix with zero results compressed out, matching the reference's
+        `_min_or_max_axis` COO construction."""
+        return self._min_or_max(axis, out, "max", explicit)
+
+    def min(self, axis=None, out=None, *, explicit=False):
+        """Minimum — see `max` (`_data.py:296-331`)."""
+        return self._min_or_max(axis, out, "min", explicit)
+
+    def _min_or_max(self, axis, out, which, explicit):
+        if out is not None:
+            raise ValueError(
+                "Sparse matrices do not support an 'out' parameter.")
+        m, n = self.shape
+        if axis is None:
+            if m == 0 or n == 0:
+                raise ValueError("zero-size array to reduction operation")
+            coo = self.tocoo()
+            op = jnp.max if which == "max" else jnp.min
+            stored = op(coo.data) if self.nnz else jnp.asarray(0, self.dtype)
+            if explicit or self.nnz == m * n:
+                return stored
+            cmp = jnp.maximum if which == "max" else jnp.minimum
+            return cmp(stored, jnp.asarray(0, self.dtype))
+        if axis < 0:
+            axis += 2
+        if axis not in (0, 1):
+            raise ValueError(f"axis out of range: {axis}")
+        if self.shape[axis] == 0:
+            raise ValueError("zero-size array to reduction operation")
+        M = self.shape[1 - axis]
         coo = self.tocoo()
-        explicit = jnp.min(coo.data) if self.nnz else jnp.asarray(0, self.dtype)
-        if self.nnz < self.shape[0] * self.shape[1]:
-            return jnp.minimum(explicit, jnp.asarray(0, self.dtype))
-        return explicit
+        major = np.asarray(coo.row if axis == 1 else coo.col)
+        data = np.asarray(coo.data)
+        npop = np.maximum if which == "max" else np.minimum
+        fill = -np.inf if which == "max" else np.inf
+        red = np.full((M,), fill)
+        npop.at(red, major, data)
+        counts = np.bincount(major, minlength=M)
+        value = np.where(counts > 0, red, 0).astype(self.dtype)
+        if not explicit:
+            # rows/cols with an implicit zero compete against 0
+            value = np.where(counts < self.shape[axis],
+                             npop(value, np.zeros((), self.dtype)), value)
+        else:
+            value = np.where(counts > 0, value, 0)
+        return self._vector_as_sparse(value, axis)
+
+    def _vector_as_sparse(self, value, axis):
+        """(M,) host vector → compressed sparse (1, M) or (M, 1) COO."""
+        from spmm_tpu.sparse.coo import COO
+
+        (idx,) = np.nonzero(value)
+        vals = value[idx]
+        zeros = np.zeros_like(idx)
+        if axis == 0:
+            return COO((vals, (zeros, idx)), shape=(1, len(value)))
+        return COO((vals, (idx, zeros)), shape=(len(value), 1))
+
+    def argmax(self, axis=None, out=None):
+        """Index of the maximum (implicit zeros participate; first index
+        on ties — numpy-on-dense semantics, which the reference's
+        `_arg_min_or_max` machinery reproduces; `_data.py:332-355`)."""
+        return self._arg_min_or_max(axis, out, np.argmax)
+
+    def argmin(self, axis=None, out=None):
+        """Index of the minimum — see `argmax` (`_data.py:356-381`)."""
+        return self._arg_min_or_max(axis, out, np.argmin)
+
+    def _arg_min_or_max(self, axis, out, npop):
+        if out is not None:
+            raise ValueError(
+                "Sparse matrices do not support an 'out' parameter.")
+        m, n = self.shape
+        if m == 0 or n == 0:
+            raise ValueError("Cannot apply the operation to an empty matrix.")
+        arr = np.asarray(self.toarray())
+        if axis is None:
+            return int(npop(arr))
+        if axis < 0:
+            axis += 2
+        if axis not in (0, 1):
+            raise ValueError(f"axis out of range: {axis}")
+        value = npop(arr, axis=axis)
+        return value[None, :] if axis == 0 else value[:, None]
 
     # -- data ops (the `_data.py` analogue: elementwise on stored values) ---
 
@@ -261,6 +427,43 @@ class SparseMatrix:
 
     def rint(self):
         return self._with_data(jnp.rint(self.data))
+
+    # the rest of the reference's zero-preserving unary-ufunc surface
+    # (`_data.py:12-17` `_ufuncs` + `_install_ufuncs`): each applies to
+    # stored values only (f(0) == 0 for all of them)
+
+    def sin(self):
+        return self._with_data(jnp.sin(self.data))
+
+    def tan(self):
+        return self._with_data(jnp.tan(self.data))
+
+    def arcsin(self):
+        return self._with_data(jnp.arcsin(self.data))
+
+    def arctan(self):
+        return self._with_data(jnp.arctan(self.data))
+
+    def sinh(self):
+        return self._with_data(jnp.sinh(self.data))
+
+    def tanh(self):
+        return self._with_data(jnp.tanh(self.data))
+
+    def arcsinh(self):
+        return self._with_data(jnp.arcsinh(self.data))
+
+    def arctanh(self):
+        return self._with_data(jnp.arctanh(self.data))
+
+    def deg2rad(self):
+        return self._with_data(jnp.deg2rad(self.data))
+
+    def rad2deg(self):
+        return self._with_data(jnp.rad2deg(self.data))
+
+    def trunc(self):
+        return self._with_data(jnp.trunc(self.data))
 
     def maximum_scalar(self, s):
         if s > 0:

@@ -108,7 +108,8 @@ class BSR(SparseMatrix):
             return self
         return csr_to_bsr(self.tocsr(), blocksize=blocksize)
 
-    def toarray(self):
+    def toarray(self, order=None, out=None):
+        self._check_order(order, out)
         m, n = self._shape
         R, C = self.blocksize
         mb = (m + R - 1) // R

@@ -151,7 +151,8 @@ class COO(SparseMatrix):
         return CSC.from_parts(indptr, row_s, data_s, self._shape,
                               canonical=True)
 
-    def toarray(self):
+    def toarray(self, order=None, out=None):
+        self._check_order(order, out)
         return prim.coo_to_dense(self.row, self.col, self.data, self._shape)
 
     def transpose(self) -> "COO":

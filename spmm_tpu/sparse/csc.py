@@ -37,11 +37,24 @@ class CSC(SparseMatrix):
             self.data = jnp.asarray(data, dtype=dtype)
             self.indices = jnp.asarray(indices, INDEX_DTYPE)
             self.indptr = jnp.asarray(indptr, INDEX_DTYPE)
+            if not (self.data.ndim == self.indices.ndim
+                    == self.indptr.ndim == 1):
+                raise ValueError("data, indices and indptr must be 1-D")
+            if self.data.shape[0] != self.indices.shape[0]:
+                raise ValueError(
+                    f"data length {self.data.shape[0]} != indices length "
+                    f"{self.indices.shape[0]}")
+            if self.indptr.shape[0] < 1:
+                raise ValueError("indptr must have at least one element")
             if shape is None:
                 n = self.indptr.shape[0] - 1
                 m = int(jnp.max(self.indices)) + 1 if self.indices.shape[0] else 0
                 shape = (m, n)
             self._shape = (int(shape[0]), int(shape[1]))
+            if self.indptr.shape[0] != self._shape[1] + 1:
+                raise ValueError(
+                    f"indptr length {self.indptr.shape[0]} != cols+1 "
+                    f"({self._shape[1] + 1})")
             self._canonical = canonical
         elif (
             isinstance(arg1, tuple)
@@ -118,7 +131,8 @@ class CSC(SparseMatrix):
     def tocsr(self):
         return self.tocoo().tocsr()
 
-    def toarray(self):
+    def toarray(self, order=None, out=None):
+        self._check_order(order, out)
         return prim.coo_to_dense(self.indices, self.cols, self.data,
                                  self._shape)
 

@@ -43,11 +43,26 @@ class CSR(SparseMatrix):
             self.data = jnp.asarray(data, dtype=dtype)
             self.indices = jnp.asarray(indices, INDEX_DTYPE)
             self.indptr = jnp.asarray(indptr, INDEX_DTYPE)
+            # component validation (reference `_compressed.py` check_format
+            # / test_csr.py TestCsrMatrixInvalidInit behaviors)
+            if not (self.data.ndim == self.indices.ndim
+                    == self.indptr.ndim == 1):
+                raise ValueError("data, indices and indptr must be 1-D")
+            if self.data.shape[0] != self.indices.shape[0]:
+                raise ValueError(
+                    f"data length {self.data.shape[0]} != indices length "
+                    f"{self.indices.shape[0]}")
+            if self.indptr.shape[0] < 1:
+                raise ValueError("indptr must have at least one element")
             if shape is None:
                 m = self.indptr.shape[0] - 1
                 n = int(jnp.max(self.indices)) + 1 if self.indices.shape[0] else 0
                 shape = (m, n)
             self._shape = (int(shape[0]), int(shape[1]))
+            if self.indptr.shape[0] != self._shape[0] + 1:
+                raise ValueError(
+                    f"indptr length {self.indptr.shape[0]} != rows+1 "
+                    f"({self._shape[0] + 1})")
             self._canonical = canonical
         elif (
             isinstance(arg1, tuple)
@@ -180,7 +195,8 @@ class CSR(SparseMatrix):
         return CSC.from_parts(indptr, row_s, data_s, self._shape,
                               canonical=True)
 
-    def toarray(self):
+    def toarray(self, order=None, out=None):
+        self._check_order(order, out)
         if self._canonical:
             return prim.csr_to_dense_canonical(
                 self.indptr, self.indices, self.data, self._shape)

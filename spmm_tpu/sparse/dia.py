@@ -142,7 +142,8 @@ class DIA(SparseMatrix):
     def todia(self):
         return self
 
-    def toarray(self):
+    def toarray(self, order=None, out=None):
+        self._check_order(order, out)
         m, n = self._shape
         out = jnp.zeros((m, n), self.data.dtype)
         mask_h = self._inbounds_mask()

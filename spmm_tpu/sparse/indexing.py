@@ -153,6 +153,24 @@ def _is_bool_array(x) -> bool:
     return x.dtype == np.bool_
 
 
+def _check_int(i, extent: int, what: str) -> int:
+    """Bounds-checked scalar index → non-negative index.  SciPy raises
+    IndexError out of range (also what terminates `for row in A`
+    iteration via the legacy sequence protocol)."""
+    i = int(i)
+    if not -extent <= i < extent:
+        raise IndexError(f"{what} index {i} out of range (extent {extent})")
+    return i % extent
+
+
+def _check_arr(arr, extent: int, what: str):
+    """Bounds-checked integer index array → non-negative indices."""
+    arr = np.asarray(arr)
+    if arr.size and (arr.min() < -extent or arr.max() >= extent):
+        raise IndexError(f"{what} index out of range (extent {extent})")
+    return arr.astype(np.int64) % extent
+
+
 def _normalize_rows_key(a, key):
     """int / slice / int array / bool mask → explicit row index array, or
     None when the key selects all rows contiguously."""
@@ -168,7 +186,7 @@ def _normalize_rows_key(a, key):
             raise IndexError(f"boolean row mask length {arr.shape[0]} != "
                              f"rows {m}")
         return np.nonzero(arr)[0], None
-    return arr.astype(np.int64) % m, None
+    return _check_arr(arr, m, 'row'), None
 
 
 def csr_getitem(a, key):
@@ -178,7 +196,8 @@ def csr_getitem(a, key):
         int_i = isinstance(ik, (int, np.integer))
         int_j = isinstance(jk, (int, np.integer))
         if int_i and int_j:
-            return _getitem_element(a, int(ik) % m, int(jk) % n)
+            return _getitem_element(a, _check_int(ik, m, 'row'),
+                                    _check_int(jk, n, 'column'))
         arr_i = isinstance(ik, (list, np.ndarray, jnp.ndarray))
         arr_j = isinstance(jk, (list, np.ndarray, jnp.ndarray))
         if (arr_i or int_i) and (arr_j or int_j):
@@ -193,8 +212,8 @@ def csr_getitem(a, key):
                 ri = np.nonzero(ri)[0]
             if cj.dtype == np.bool_:
                 cj = np.nonzero(cj)[0]
-            ri = ri % m
-            cj = cj % n
+            ri = _check_arr(ri, m, 'row')
+            cj = _check_arr(cj, n, 'column')
             if ri.ndim > 1 or cj.ndim > 1:
                 return _get_mesh(a, ri, cj)
             return _get_pairs(a, *np.broadcast_arrays(ri, cj))
@@ -205,14 +224,16 @@ def csr_getitem(a, key):
                     return _getcols_slice(a, j0, j1)
                 return _getcols_array(a, np.arange(j0, j1, step))
             if int_j:
-                return _getcols_slice(a, int(jk) % n, int(jk) % n + 1)
+                j = _check_int(jk, n, 'column')
+                return _getcols_slice(a, j, j + 1)
             if arr_j:
                 cj = np.asarray(jk)
                 if cj.dtype == np.bool_:
                     cj = np.nonzero(cj)[0]
-                return _getcols_array(a, cj % n)
+                return _getcols_array(a, _check_arr(cj, n, 'column'))
         if int_i and isinstance(jk, slice):
-            row = _getrow_slice(a, int(ik) % m, int(ik) % m + 1)
+            i = _check_int(ik, m, 'row')
+            row = _getrow_slice(a, i, i + 1)
             j0, j1, step = jk.indices(n)
             if step == 1:
                 return _getcols_slice(row, j0, j1)
@@ -228,7 +249,7 @@ def csr_getitem(a, key):
             return csr_getitem(sub, (slice(None), jk))
         raise NotImplementedError(f"unsupported index {key!r}")
     if isinstance(key, (int, np.integer)):
-        i = int(key) % m
+        i = _check_int(key, m, 'row')
         return _getrow_slice(a, i, i + 1)
     if isinstance(key, slice):
         rows, contig = _normalize_rows_key(a, key)
@@ -344,14 +365,14 @@ def _normalize_axis_key(key, extent):
         start, stop, step = key.indices(extent)
         return np.arange(start, stop, step, dtype=np.int64)
     if isinstance(key, (int, np.integer)):
-        return np.asarray([int(key) % extent], np.int64)
+        return np.asarray([_check_int(key, extent, 'axis')], np.int64)
     arr = np.asarray(key)
     if arr.dtype == np.bool_:
         if arr.shape[0] != extent:
             raise IndexError(
                 f"boolean mask length {arr.shape[0]} != extent {extent}")
         return np.nonzero(arr)[0]
-    return arr.astype(np.int64).ravel() % extent
+    return _check_arr(arr, extent, 'axis').ravel()
 
 
 def csr_setitem(a, key, value):
@@ -375,7 +396,8 @@ def csr_setitem(a, key, value):
         int_j = isinstance(jk, (int, np.integer))
         if int_i and int_j:
             return _assign_entries(
-                a, np.asarray([int(ik) % m]), np.asarray([int(jk) % n]),
+                a, np.asarray([_check_int(ik, m, 'row')]),
+                np.asarray([_check_int(jk, n, 'column')]),
                 np.asarray([value], np.asarray(a.data).dtype))
         arr_i = isinstance(ik, (list, np.ndarray, jnp.ndarray))
         arr_j = isinstance(jk, (list, np.ndarray, jnp.ndarray))
@@ -390,7 +412,8 @@ def csr_setitem(a, key, value):
             cj = cj.astype(np.int64)
             if ri.ndim > 1 or cj.ndim > 1:
                 # 2-D fancy mesh assignment (np.ix_ / rows[:, None] form)
-                ri2, cj2 = np.broadcast_arrays(ri % m, cj % n)
+                ri2, cj2 = np.broadcast_arrays(_check_arr(ri, m, 'row'),
+                                               _check_arr(cj, n, 'column'))
                 if issparse(value):
                     rows_sel = ri2[:, 0]
                     cols_sel = cj2[0, :]
@@ -405,8 +428,8 @@ def csr_setitem(a, key, value):
                     np.asarray(value, np.asarray(a.data).dtype), ri2.shape)
                 return _assign_entries(a, ri2.ravel(), cj2.ravel(),
                                        vals.ravel())
-            ri = ri.ravel() % m
-            cj = cj.ravel() % n
+            ri = _check_arr(ri, m, 'row').ravel()
+            cj = _check_arr(cj, n, 'column').ravel()
             ri, cj = np.broadcast_arrays(ri, cj)
             vals = np.broadcast_to(
                 np.asarray(value, np.asarray(a.data).dtype).ravel()
@@ -425,7 +448,7 @@ def csr_setitem(a, key, value):
             raise NotImplementedError(f"unsupported assignment key "
                                       f"{key!r}")
     if isinstance(key, (int, np.integer)):
-        rows_sel = np.asarray([int(key) % m], np.int64)
+        rows_sel = np.asarray([_check_int(key, m, 'row')], np.int64)
         if not issparse(value):
             value = np.asarray(value).reshape(1, -1) \
                 if np.ndim(value) else value
