@@ -47,6 +47,14 @@ def multiply(a, b):
         if b_arr.ndim == 1 and b_arr.shape[0] == a.shape[1]:
             # row-vector broadcast
             return a._with_data(coo.data * b_arr[coo.col]).asformat(a.format)
+        if b_arr.ndim == 2 and b_arr.shape == (1, a.shape[1]):
+            # (1, n) row broadcast (scipy semantics)
+            return a._with_data(coo.data * b_arr[0, coo.col]).asformat(
+                a.format)
+        if b_arr.ndim == 2 and b_arr.shape == (a.shape[0], 1):
+            # (m, 1) column broadcast
+            return a._with_data(coo.data * b_arr[coo.row, 0]).asformat(
+                a.format)
         raise ValueError("unsupported multiply broadcast")
     if a.shape != b.shape:
         raise ValueError(f"shape mismatch for multiply: {a.shape} vs {b.shape}")

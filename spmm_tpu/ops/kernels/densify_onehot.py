@@ -65,8 +65,13 @@ U_DEFAULT = 32
 # plans whose worst sub-chunk spans more rows than this are rejected (the
 # matrix is too sparse for the windowed kernel — use the XLA scatter)
 W_MAX = 512
-# VMEM budget for the two resident output buffers (f32 + bf16 ≈ 6 B/cell)
-_VMEM_OUT_BUDGET = 10 * 2**20
+# VMEM budget for the resident output buffer(s); the plan gate charges
+# out_bytes_per_cell (6 f32+bf16 / 4 value-only / 2 pattern-only).
+# 28 MB admits 2048² at every mode (measured v5e r5b: 25.2 MB resident +
+# ~13 MB scoped unroll stack fits the 64 MB vmem limit with room); the
+# former 10 MB gate silently dropped every 2048² call onto the XLA
+# scatter (~6 ns/element serialized).
+_VMEM_OUT_BUDGET = 28 * 2**20
 
 
 def _round_up(x: int, m: int) -> int:
@@ -76,13 +81,20 @@ def _round_up(x: int, m: int) -> int:
 def densify_onehot_plan(indptr_host, m: int, k: int,
                         ch: int = CH_DEFAULT,
                         w_max: int = W_MAX,
-                        unroll: int = U_DEFAULT) -> Optional[tuple]:
+                        unroll: int = U_DEFAULT,
+                        out_bytes_per_cell: int = 6) -> Optional[tuple]:
     """Static chunk plan from a host copy of indptr.
 
     Returns (r0s, W, CH, U) — per-sub-chunk aligned window starts, the
     common window height, entries per sub-chunk, sub-chunks per grid step
     — or None when the kernel does not apply (empty matrix, a sub-chunk
     spanning too many rows, or outputs too big for VMEM).
+
+    `out_bytes_per_cell` keys the VMEM-residency gate to what the caller
+    will actually materialise: 6 for values+pattern (f32+bf16), 4 for
+    `with_pattern=False` value-only calls, 2 for the pattern-only kernel.
+    A 6-keyed plan rejected 2048² outright and silently dropped the whole
+    engine onto the ~6 ns/element XLA scatter (the r5b 2048-row wall).
     """
     indptr_host = np.asarray(indptr_host)
     nnz = int(indptr_host[-1])
@@ -118,7 +130,7 @@ def densify_onehot_plan(indptr_host, m: int, k: int,
     # bitwise unchanged.
     m_out = max(_round_up(m, align), w)
     r0 = np.minimum(r0, m_out - w)
-    if m_out * k_pad * 6 > _VMEM_OUT_BUDGET:
+    if m_out * k_pad * out_bytes_per_cell > _VMEM_OUT_BUDGET:
         return None
     # scoped-stack estimate for the U-way unrolled body: per sub-chunk the
     # live bf16 temporaries are EQᵀ (CH, W·KQ), R (CH, 128) and the three
@@ -195,6 +207,87 @@ def _kernel_val(r0s_ref, wqs_ref, collo_ref, vhi_ref, vmid_ref,
                + mm(rohb * vlo_ref[:, j:j + 1]))
         s = pl.multiple_of(r0 * KQ, 8 * KQ)
         out_ref[pl.ds(s, WQ), :] += acc
+
+
+def _kernel_pat(r0s_ref, wqs_ref, collo_ref, pat_ref, *, WQ: int, KQ: int,
+                CH: int, U: int):
+    """Pattern-only variant: ONE MXU pass per sub-chunk (vs 4 in
+    `_kernel`) and no value streams at all — for the symbolic/count
+    phase, which only consumes the bf16 structural 0/1 dense."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        pat_ref[...] = jnp.zeros_like(pat_ref)
+
+    for j in range(U):
+        r0 = r0s_ref[i * U + j]
+        wq = wqs_ref[:, j:j + 1] - r0 * KQ
+        eq_t = (wq == lax.broadcasted_iota(INDEX_DTYPE, (CH, WQ), 1)
+                ).astype(jnp.bfloat16)
+        rohb = (collo_ref[:, j:j + 1]
+                == lax.broadcasted_iota(INDEX_DTYPE, (CH, 128), 1)
+                ).astype(jnp.bfloat16)
+        patc = lax.dot_general(eq_t, rohb, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+        s = pl.multiple_of(r0 * KQ, 8 * KQ)
+        pat_ref[pl.ds(s, WQ), :] += patc.astype(jnp.bfloat16)
+
+
+@functools.partial(
+    memtrace.jit, static_argnames=("m", "k", "plan", "interpret"))
+def densify_onehot_pattern(indptr, indices, m: int, k: int, plan,
+                           interpret: bool = False):
+    """bf16 structural 0/1 dense (m, k) from CSR structure — the
+    pattern-only entry point (`_pattern_dense` scatter replacement for
+    the count programs).  `plan` from `densify_onehot_plan` with
+    out_bytes_per_cell=2."""
+    from spmm_tpu.ops import _primitives as prim
+
+    r0s_t, W, CH, U = plan
+    nchunks = len(r0s_t)
+    nsteps = nchunks // U
+    k_pad = _round_up(k, 128)
+    KQ = k_pad // 128
+    WQ = W * KQ
+    align = 16 if KQ == 1 else 8
+    m_pad = max(_round_up(m, align), W)
+    nnz = indices.shape[0]
+    n_pad_total = nchunks * CH
+
+    rows = prim.rows_from_indptr(indptr, nnz)
+    wqb = rows * jnp.asarray(KQ, INDEX_DTYPE) + (indices >> 7)
+    collo = indices & 127
+
+    pad = n_pad_total - nnz
+    if pad:
+        wqb = jnp.concatenate(
+            [wqb, jnp.full((pad,), m * KQ, INDEX_DTYPE)])
+        collo = jnp.concatenate([collo, jnp.zeros((pad,), INDEX_DTYPE)])
+
+    wqb = _pack_lanes(wqb, nsteps, U, CH)
+    collo = _pack_lanes(collo, nsteps, U, CH)
+    r0s = jnp.asarray(r0s_t, INDEX_DTYPE)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((CH, U), lambda i, r0s: (i, 0)),
+            pl.BlockSpec((CH, U), lambda i, r0s: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((m_pad * KQ, 128), lambda i, r0s: (0, 0)),
+        ],
+    )
+    (pat,) = pl.pallas_call(
+        functools.partial(_kernel_pat, WQ=WQ, KQ=KQ, CH=CH, U=U),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((m_pad * KQ, 128), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=interpret,
+    )(r0s, wqb, collo)
+    return pat.reshape(m_pad, k_pad)[:m, :k]
 
 
 def _pack_lanes(x, nsteps: int, U: int, CH: int):

@@ -99,21 +99,45 @@ def _densify_pair(indptr, indices, data, m: int, k: int, plan):
     return vd, pat
 
 
+def _densify_pattern(indptr, indices, m: int, k: int, plan):
+    """bf16 structural pattern only: the 1-MXU-pass pattern kernel when a
+    (2 B/cell-gated) plan is supplied, scatter otherwise — the symbolic
+    phase streams no values at all."""
+    if plan is not None:
+        from spmm_tpu.ops.kernels.densify_onehot import (
+            densify_onehot_pattern)
+
+        return densify_onehot_pattern(indptr, indices, m, k, plan)
+    return _pattern_dense(indptr, indices, indices.shape[0], m, k)
+
+
+def _pad_indptr_h(indptr_h, m_pad: int):
+    if m_pad > indptr_h.shape[0] - 1:
+        indptr_h = np.concatenate(
+            [indptr_h,
+             np.full((m_pad - (indptr_h.shape[0] - 1),),
+                     indptr_h[-1], indptr_h.dtype)])
+    return indptr_h
+
+
+def _plan_for(indptr_h, rows: int, cols: int, dtype, bytes_per_cell: int):
+    """Mode-keyed densify plan (6 values+pattern / 4 value-only /
+    2 pattern-only — the VMEM-residency gate scales with what the call
+    materialises), or None when the kernel does not apply."""
+    if jax.default_backend() != "tpu" or jnp.dtype(dtype) != jnp.float32:
+        return None
+    from spmm_tpu.ops.kernels.densify_onehot import densify_onehot_plan
+
+    return densify_onehot_plan(indptr_h, rows, cols,
+                               out_bytes_per_cell=bytes_per_cell)
+
+
 def _onehot_plans_padded(a_indptr_h, b_indptr_h, m_pad: int, k: int,
                          n: int, dtype):
     """Static densify plans for the blocked engines (padded row count),
     TPU + f32 only; (None, None) when the kernel does not apply."""
-    if jax.default_backend() != "tpu" or jnp.dtype(dtype) != jnp.float32:
-        return (None, None)
-    from spmm_tpu.ops.kernels.densify_onehot import densify_onehot_plan
-
-    if m_pad > a_indptr_h.shape[0] - 1:
-        a_indptr_h = np.concatenate(
-            [a_indptr_h,
-             np.full((m_pad - (a_indptr_h.shape[0] - 1),),
-                     a_indptr_h[-1], a_indptr_h.dtype)])
-    pa = densify_onehot_plan(a_indptr_h, m_pad, k)
-    pb = densify_onehot_plan(b_indptr_h, k, n)
+    pa = _plan_for(_pad_indptr_h(a_indptr_h, m_pad), m_pad, k, dtype, 6)
+    pb = _plan_for(b_indptr_h, k, n, dtype, 6)
     if pa is None or pb is None:
         return (None, None)
     return (pa, pb)
@@ -138,11 +162,13 @@ def _alg2_count(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
     unrolled compute program then needs NO pattern machinery at all
     (no dense bf16 B pattern, no per-tile pattern matmuls): half its
     MXU work and the b_pat/a_pat/counts buffers gone from its peak —
-    the terms that kept alg2's peak above alg1's at every grid cell."""
-    _, a_pat = _densify_pair(a_indptr, a_indices, a_data, m_pad, k,
-                             oh_plans[0])
-    _, b_pat = _densify_pair(b_indptr, b_indices, b_data, k, n,
-                             oh_plans[1])
+    the terms that kept alg2's peak above alg1's at every grid cell.
+
+    Round 5b: `oh_plans` are PATTERN plans (2 B/cell VMEM gate) and the
+    densifies run the 1-MXU-pass pattern-only kernel — the symbolic
+    phase streams no values at all."""
+    a_pat = _densify_pattern(a_indptr, a_indices, m_pad, k, oh_plans[0])
+    b_pat = _densify_pattern(b_indptr, b_indices, k, n, oh_plans[1])
 
     def tile_body(_, t):
         ap = lax.dynamic_slice(a_pat, (t * TILE, _ZERO), (TILE, k))
@@ -352,12 +378,14 @@ def spgemm_alg2_blocked(a, b, alpha, precision: str = "highest",
             [a_indptr_h, np.full((m_pad - m,), a_indptr_h[-1],
                                  a_indptr_h.dtype)])
     a_indptr = jnp.asarray(a_indptr_h, INDEX_DTYPE)
-    oh_plans = _onehot_plans_padded(np.asarray(a.indptr),
-                                    np.asarray(b.indptr),
-                                    m_pad, k, n, a.dtype)
+    # symbolic phase: pattern-only plans (2 B/cell gate — feasible up to
+    # 2048²+ where the former joint 6 B gate fell back to scatters)
+    pat_plans = (_plan_for(_pad_indptr_h(np.asarray(a.indptr), m_pad),
+                           m_pad, k, a.dtype, 2),
+                 _plan_for(np.asarray(b.indptr), k, n, a.dtype, 2))
     rowc, tilec, mask = _alg2_count(a_indptr, a.indices, a.data,
                                     b.indptr, b.indices, b.data,
-                                    m_pad, k, n, T, oh_plans)
+                                    m_pad, k, n, T, pat_plans)
     tilec_h = np.asarray(tilec)  # host sizing readback (spMatGetSize)
     nnz = int(tilec_h.sum())
     if nnz == 0:
@@ -374,7 +402,8 @@ def spgemm_alg2_blocked(a, b, alpha, precision: str = "highest",
             plan = (_tile_onehot_plan(local, TILE, k, a.dtype, interpret)
                     if e1 > e0 else None)
             tiles_meta.append((e0, e1, plan))
-        b_plan = oh_plans[1]
+        # numeric phase: value-only B plan (4 B/cell gate)
+        b_plan = _plan_for(np.asarray(b.indptr), k, n, a.dtype, 4)
         if verbose:
             print(f"[spgemm alg2/blocked] unrolled T={T} nnz={nnz} onehot="
                   f"{sum(pl is not None for _, _, pl in tiles_meta)}a/"
@@ -386,6 +415,10 @@ def spgemm_alg2_blocked(a, b, alpha, precision: str = "highest",
             tuple(int(c) for c in tilec_h), b_plan, interpret)
         return CSR.from_parts(indptr, cols, vals, (m, n), canonical=True)
     cap_tile = _round_up(int(tilec_h.max()), 8)
+    # scan fallback engine consumes values+patterns jointly (6 B gate)
+    oh_plans = _onehot_plans_padded(np.asarray(a.indptr),
+                                    np.asarray(b.indptr),
+                                    m_pad, k, n, a.dtype)
     if verbose:
         print(f"[spgemm alg2/blocked] T={T} cap_tile={cap_tile} nnz={nnz} "
               f"onehot={oh_plans[0] is not None}")

@@ -90,3 +90,55 @@ def test_densify_onehot_value_only_bitwise():
     assert p2 is None and p1 is not None
     assert np.array_equal(np.asarray(v1).view(np.uint32),
                           np.asarray(v2).view(np.uint32))
+
+
+@pytest.mark.parametrize(
+    "m,k,density,seed",
+    [(64, 128, 0.1, 0), (100, 300, 0.05, 1), (256, 256, 0.3, 2),
+     (33, 136, 0.2, 4)])
+def test_densify_onehot_pattern_only(m, k, density, seed):
+    from spmm_tpu.ops.kernels.densify_onehot import densify_onehot_pattern
+
+    A = st.random(m, k, density, format="csr", random_state=seed)
+    plan = densify_onehot_plan(np.asarray(A.indptr), m, k, ch=256,
+                               out_bytes_per_cell=2)
+    assert plan is not None
+    pat = densify_onehot_pattern(A.indptr, A.indices, m, k, plan,
+                                 interpret=True)
+    assert pat.dtype == jnp.bfloat16
+    ref = np.asarray(A.toarray()) != 0
+    # structural 0/1, exactly (canonical CSR: one entry per cell)
+    assert np.array_equal(np.asarray(pat, np.float32), ref.astype(np.float32))
+
+
+def test_densify_onehot_pattern_keeps_explicit_zeros():
+    from spmm_tpu.ops.kernels.densify_onehot import densify_onehot_pattern
+
+    indptr = np.array([0, 2, 3], np.int32)
+    indices = np.array([1, 5, 0], np.int32)
+    data = np.array([0.0, 2.0, -1.0], np.float32)
+    plan = densify_onehot_plan(indptr, 2, 8, ch=256,
+                               out_bytes_per_cell=2)
+    pat = densify_onehot_pattern(jnp.asarray(indptr), jnp.asarray(indices),
+                                 2, 8, plan, interpret=True)
+    want = np.zeros((2, 8), np.float32)
+    want[0, 1] = want[0, 5] = want[1, 0] = 1.0  # explicit zero kept
+    assert np.array_equal(np.asarray(pat, np.float32), want)
+
+
+def test_plan_bytes_per_cell_gate():
+    # a shape feasible at 2 B/cell but not at 6 B/cell exercises the
+    # mode-keyed VMEM gate (the r5b 2048^2 wall)
+    m = k = 2048
+    rng = np.random.default_rng(0)
+    rowc = np.full(m, 409)
+    indptr = np.concatenate([[0], np.cumsum(rowc)]).astype(np.int64)
+    p2 = densify_onehot_plan(indptr, m, k, out_bytes_per_cell=2)
+    p6 = densify_onehot_plan(indptr, m, k, out_bytes_per_cell=6)
+    assert p2 is not None
+    assert p6 is not None  # 25.2 MB <= 28 MB budget (raised r5b)
+    m = k = 4096
+    indptr4 = (np.arange(m + 1) * 41).astype(np.int64)
+    # 4096^2 exceeds the budget at every mode (33.5 MB even at 2 B/cell)
+    assert densify_onehot_plan(indptr4, m, k, out_bytes_per_cell=4) is None
+    assert densify_onehot_plan(indptr4, m, k, out_bytes_per_cell=2) is None
