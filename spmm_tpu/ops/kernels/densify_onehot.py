@@ -25,12 +25,14 @@ charges ~2.5 µs fixed cost per step; entry metadata is packed (CH, U) —
 sub-chunk per lane — so VMEM blocks are dense (a (CH, 1) layout pads to
 128 lanes and wastes 128x).
 
-Values travel as an exact bf16 triple (hi, mid, lo — mantissa bit-masked,
-see `_primitives._bf16_split3`): each cell receives exactly one entry
-(canonical CSR), so three bf16 contraction passes reconstruct the f32
-value bitwise (hi+mid+lo, fixed order).  A fourth pass over R alone yields
-the structural 0/1 pattern, which keeps explicit zeros — this replaces the
-_TINY marker trick of the XLA path entirely.
+Values travel as raw f32 and are split IN-kernel into the exact bf16
+triple (hi, mid, lo — mantissa bit-masked, the `_bf16_split3` logic):
+each cell receives exactly one entry (canonical CSR), so three bf16
+contraction passes reconstruct the f32 value bitwise (hi+mid+lo, fixed
+order).  A fourth pass over R alone yields the structural 0/1 pattern,
+which keeps explicit zeros — this replaces the _TINY marker trick of the
+XLA path entirely.  Entry metadata travels as ONE packed int32
+(row·k_pad + col): 8 B/entry streamed in total.
 
 Output layout is (m_pad·KQ, 128) ≡ row-major (m_pad, k), so the caller's
 reshape is free.  Deterministic by construction: fixed chunk order, fixed
@@ -141,8 +143,50 @@ def densify_onehot_plan(indptr_host, m: int, k: int,
     return (tuple(int(x) for x in r0), w, ch, unroll)
 
 
-def _kernel(r0s_ref, wqs_ref, collo_ref, vhi_ref, vmid_ref, vlo_ref,
-            out_ref, pat_ref, *, WQ: int, KQ: int, CH: int, U: int):
+# Entry metadata travels as ONE packed int32 stream: meta = row·k_pad +
+# col  ≡  wq·128 + collo (wq = row·KQ + col>>7, collo = col&127).  The
+# kernels decode with a shift/mask, and the f32 values are split into
+# the exact bf16 (hi, mid, lo) triple IN-kernel (same mantissa bit-masks
+# as `_primitives._bf16_split3`).  This streams 8 B/entry instead of the
+# former 14 (wq i32 + collo i32 + 3 bf16 planes): −6 B/entry of both HBM
+# traffic and co-live argument buffers (the r5c ~25 MB of alg1's peak at
+# 2048²/0.5).
+
+
+def _decode(meta_col, r0, *, WQ: int, KQ: int, CH: int):
+    wq = (meta_col >> 7) - r0 * KQ
+    eq_t = (wq == lax.broadcasted_iota(INDEX_DTYPE, (CH, WQ), 1)
+            ).astype(jnp.bfloat16)
+    rohb = ((meta_col & 127)
+            == lax.broadcasted_iota(INDEX_DTYPE, (CH, 128), 1)
+            ).astype(jnp.bfloat16)
+    return eq_t, rohb
+
+
+def _split3(v):
+    bits = lax.bitcast_convert_type(v, jnp.int32)
+    hi = lax.bitcast_convert_type(bits & jnp.int32(-65536), jnp.float32)
+    r1 = v - hi
+    bits1 = lax.bitcast_convert_type(r1, jnp.int32)
+    mid = lax.bitcast_convert_type(bits1 & jnp.int32(-65536), jnp.float32)
+    lo = r1 - mid
+    return (hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
+            lo.astype(jnp.bfloat16))
+
+
+def _value_acc(eq_t, rohb, v):
+    hi, mid, lo = _split3(v)
+
+    def mm(f):
+        # contract the entry (sublane) dim of both: EQᵀᵀ @ F
+        return lax.dot_general(eq_t, f, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    return (mm(rohb * hi) + mm(rohb * mid)) + mm(rohb * lo)
+
+
+def _kernel(r0s_ref, meta_ref, vals_ref, out_ref, pat_ref, *, WQ: int,
+            KQ: int, CH: int, U: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -152,32 +196,17 @@ def _kernel(r0s_ref, wqs_ref, collo_ref, vhi_ref, vmid_ref, vlo_ref,
 
     for j in range(U):  # static unroll over the lane-packed sub-chunks
         r0 = r0s_ref[i * U + j]
-        # transposed (entry-major) combined one-hot: (CH, WQ)
-        wq = wqs_ref[:, j:j + 1] - r0 * KQ
-        eq_t = (wq == lax.broadcasted_iota(INDEX_DTYPE, (CH, WQ), 1)
-                ).astype(jnp.bfloat16)
-        # lane one-hot: (CH, 128)
-        rohb = (collo_ref[:, j:j + 1]
-                == lax.broadcasted_iota(INDEX_DTYPE, (CH, 128), 1)
-                ).astype(jnp.bfloat16)
-
-        def mm(f, eq_t=eq_t):
-            # contract the entry (sublane) dim of both: EQᵀᵀ @ F
-            return lax.dot_general(
-                eq_t, f, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        acc = ((mm(rohb * vhi_ref[:, j:j + 1])
-                + mm(rohb * vmid_ref[:, j:j + 1]))
-               + mm(rohb * vlo_ref[:, j:j + 1]))
-        patc = mm(rohb)
+        eq_t, rohb = _decode(meta_ref[:, j:j + 1], r0, WQ=WQ, KQ=KQ, CH=CH)
+        acc = _value_acc(eq_t, rohb, vals_ref[:, j:j + 1])
+        patc = lax.dot_general(eq_t, rohb, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
         s = pl.multiple_of(r0 * KQ, 8 * KQ)
         out_ref[pl.ds(s, WQ), :] += acc
         pat_ref[pl.ds(s, WQ), :] += patc.astype(jnp.bfloat16)
 
 
-def _kernel_val(r0s_ref, wqs_ref, collo_ref, vhi_ref, vmid_ref,
-                vlo_ref, out_ref, *, WQ: int, KQ: int, CH: int, U: int):
+def _kernel_val(r0s_ref, meta_ref, vals_ref, out_ref, *, WQ: int,
+                KQ: int, CH: int, U: int):
     """`_kernel` without the structural-pattern output: one fewer MXU
     pass and no bf16 pattern store/buffer — for consumers that carry
     the structure separately (alg2's numeric phase receives the mask
@@ -190,26 +219,13 @@ def _kernel_val(r0s_ref, wqs_ref, collo_ref, vhi_ref, vmid_ref,
 
     for j in range(U):
         r0 = r0s_ref[i * U + j]
-        wq = wqs_ref[:, j:j + 1] - r0 * KQ
-        eq_t = (wq == lax.broadcasted_iota(INDEX_DTYPE, (CH, WQ), 1)
-                ).astype(jnp.bfloat16)
-        rohb = (collo_ref[:, j:j + 1]
-                == lax.broadcasted_iota(INDEX_DTYPE, (CH, 128), 1)
-                ).astype(jnp.bfloat16)
-
-        def mm(f, eq_t=eq_t):
-            return lax.dot_general(
-                eq_t, f, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        acc = ((mm(rohb * vhi_ref[:, j:j + 1])
-                + mm(rohb * vmid_ref[:, j:j + 1]))
-               + mm(rohb * vlo_ref[:, j:j + 1]))
+        eq_t, rohb = _decode(meta_ref[:, j:j + 1], r0, WQ=WQ, KQ=KQ, CH=CH)
+        acc = _value_acc(eq_t, rohb, vals_ref[:, j:j + 1])
         s = pl.multiple_of(r0 * KQ, 8 * KQ)
         out_ref[pl.ds(s, WQ), :] += acc
 
 
-def _kernel_pat(r0s_ref, wqs_ref, collo_ref, pat_ref, *, WQ: int, KQ: int,
+def _kernel_pat(r0s_ref, meta_ref, pat_ref, *, WQ: int, KQ: int,
                 CH: int, U: int):
     """Pattern-only variant: ONE MXU pass per sub-chunk (vs 4 in
     `_kernel`) and no value streams at all — for the symbolic/count
@@ -222,12 +238,7 @@ def _kernel_pat(r0s_ref, wqs_ref, collo_ref, pat_ref, *, WQ: int, KQ: int,
 
     for j in range(U):
         r0 = r0s_ref[i * U + j]
-        wq = wqs_ref[:, j:j + 1] - r0 * KQ
-        eq_t = (wq == lax.broadcasted_iota(INDEX_DTYPE, (CH, WQ), 1)
-                ).astype(jnp.bfloat16)
-        rohb = (collo_ref[:, j:j + 1]
-                == lax.broadcasted_iota(INDEX_DTYPE, (CH, 128), 1)
-                ).astype(jnp.bfloat16)
+        eq_t, rohb = _decode(meta_ref[:, j:j + 1], r0, WQ=WQ, KQ=KQ, CH=CH)
         patc = lax.dot_general(eq_t, rohb, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
         s = pl.multiple_of(r0 * KQ, 8 * KQ)
@@ -256,24 +267,20 @@ def densify_onehot_pattern(indptr, indices, m: int, k: int, plan,
     n_pad_total = nchunks * CH
 
     rows = prim.rows_from_indptr(indptr, nnz)
-    wqb = rows * jnp.asarray(KQ, INDEX_DTYPE) + (indices >> 7)
-    collo = indices & 127
+    meta = rows * jnp.asarray(k_pad, INDEX_DTYPE) + indices
 
     pad = n_pad_total - nnz
     if pad:
-        wqb = jnp.concatenate(
-            [wqb, jnp.full((pad,), m * KQ, INDEX_DTYPE)])
-        collo = jnp.concatenate([collo, jnp.zeros((pad,), INDEX_DTYPE)])
+        meta = jnp.concatenate(
+            [meta, jnp.full((pad,), m * k_pad, INDEX_DTYPE)])
 
-    wqb = _pack_lanes(wqb, nsteps, U, CH)
-    collo = _pack_lanes(collo, nsteps, U, CH)
+    meta = _pack_lanes(meta, nsteps, U, CH)
     r0s = jnp.asarray(r0s_t, INDEX_DTYPE)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((CH, U), lambda i, r0s: (i, 0)),
             pl.BlockSpec((CH, U), lambda i, r0s: (i, 0)),
         ],
         out_specs=[
@@ -286,7 +293,7 @@ def densify_onehot_pattern(indptr, indices, m: int, k: int, plan,
         out_shape=[jax.ShapeDtypeStruct((m_pad * KQ, 128), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
-    )(r0s, wqb, collo)
+    )(r0s, meta)
     return pat.reshape(m_pad, k_pad)[:m, :k]
 
 
@@ -321,25 +328,17 @@ def densify_onehot(indptr, indices, data, m: int, k: int, plan,
     n_pad_total = nchunks * CH
 
     rows = prim.rows_from_indptr(indptr, nnz)
-    wqb = rows * jnp.asarray(KQ, INDEX_DTYPE) + (indices >> 7)
-    collo = indices & 127
-    hi, mid, lo = prim._bf16_split3(data.astype(jnp.float32))
+    meta = rows * jnp.asarray(k_pad, INDEX_DTYPE) + indices
+    vals = data.astype(jnp.float32)
 
     pad = n_pad_total - nnz
     if pad:
-        wqb = jnp.concatenate(
-            [wqb, jnp.full((pad,), m * KQ, INDEX_DTYPE)])
-        collo = jnp.concatenate([collo, jnp.zeros((pad,), INDEX_DTYPE)])
-        zpad = jnp.zeros((pad,), jnp.bfloat16)
-        hi = jnp.concatenate([hi, zpad])
-        mid = jnp.concatenate([mid, zpad])
-        lo = jnp.concatenate([lo, zpad])
+        meta = jnp.concatenate(
+            [meta, jnp.full((pad,), m * k_pad, INDEX_DTYPE)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad,), jnp.float32)])
 
-    wqb = _pack_lanes(wqb, nsteps, U, CH)
-    collo = _pack_lanes(collo, nsteps, U, CH)
-    hi = _pack_lanes(hi, nsteps, U, CH)
-    mid = _pack_lanes(mid, nsteps, U, CH)
-    lo = _pack_lanes(lo, nsteps, U, CH)
+    meta = _pack_lanes(meta, nsteps, U, CH)
+    vals = _pack_lanes(vals, nsteps, U, CH)
     r0s = jnp.asarray(r0s_t, INDEX_DTYPE)
 
     nouts = 2 if with_pattern else 1
@@ -347,9 +346,6 @@ def densify_onehot(indptr, indices, data, m: int, k: int, plan,
         num_scalar_prefetch=1,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((CH, U), lambda i, r0s: (i, 0)),
-            pl.BlockSpec((CH, U), lambda i, r0s: (i, 0)),
-            pl.BlockSpec((CH, U), lambda i, r0s: (i, 0)),
             pl.BlockSpec((CH, U), lambda i, r0s: (i, 0)),
             pl.BlockSpec((CH, U), lambda i, r0s: (i, 0)),
         ],
@@ -370,7 +366,7 @@ def densify_onehot(indptr, indices, data, m: int, k: int, plan,
         # 512²/0.5: 17.7 MB); v5e has 128 MB of VMEM — raise the limit
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
-    )(r0s, wqb, collo, hi, mid, lo)
+    )(r0s, meta, vals)
     val = outs[0].reshape(m_pad, k_pad)[:m, :k]
     if not with_pattern:
         return val, None
