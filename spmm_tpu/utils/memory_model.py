@@ -15,16 +15,16 @@ from typing import Dict
 
 def alg1_peak_bytes(m: int, k: int, n: int, nnz_a: int, nnz_b: int,
                     nnz_c: int) -> int:
-    """Dense-intermediate: A,B dense f32 + bf16 patterns + C dense + counts
-    + mask + compacted output."""
-    dense = 4 * (m * k + k * n)          # value matrices
-    patterns = 2 * (m * k + k * n)       # bf16 patterns
-    c_dense = 4 * m * n                  # product
-    counts = 4 * m * n                   # pattern counts (f32)
-    mask = m * n                         # bool
-    out = 8 * nnz_c + 4 * (m + 1)
-    inputs = 8 * (nnz_a + nnz_b)
-    return dense + patterns + c_dense + counts + mask + out + inputs
+    """Dense-intermediate engine, r5d packed-stream kernels: peak is the
+    max over its phases (B densify with A resident / value+pattern
+    matmuls / the extraction program).  Kernel streams are 8 B/entry
+    (packed meta int32 + f32 values, bf16 split in-kernel)."""
+    inputs = 8 * (nnz_a + nnz_b) + 8 * (m + k + 2)
+    phase_b = inputs + 6 * m * k + 8 * nnz_b + 6 * k * n
+    phase_mm = (inputs + 6 * (m * k + k * n)
+                + 4 * m * n + 4 * m * n + m * n)  # C + counts + mask
+    extract = 4 * m * n + m * n + 28 * nnz_c
+    return max(phase_b, phase_mm, extract)
 
 
 def alg2_esc_peak_bytes(m: int, k: int, n: int, nnz_a: int, nnz_b: int,
@@ -58,26 +58,27 @@ def _pad128(x: int) -> int:
 
 def alg2_blocked_peak_bytes(m: int, k: int, n: int, nnz_a: int,
                             nnz_b: int, nnz_c: int) -> int:
-    """Blocked alg2 (r5 symbolic-mask engines): peak = max of the two
-    programs.  Count: full A/B densifies (the one-hot kernel's padded
-    output plus its sliced copy co-live at the slice, ×1.5) + the
-    boolean mask output.  Compute: inputs + mask + dense-B values
-    (padded + sliced, 2×) + single-copy cols/vals outputs (in-place
-    update chains — r5 job 013's one-consumer rule) + the per-tile
-    extraction workspace (~40 B per tile cell; roll-path buffers,
-    r5 job 016 bisect: 5.4 MiB at n=1024).  ×1.16 residual calibrated
-    on the v5e r5 grid (jobs 014/015/016); band ±15%."""
+    """Blocked alg2 (r5d pattern-only symbolic phase + packed-stream
+    kernels): peak = max of the two programs.  Count: bf16 A/B patterns
+    (no value machinery since r5b) + packed meta streams + the boolean
+    mask output.  Compute: inputs + mask + value-only dense B + b meta/
+    value streams + single-copy cols/vals outputs (in-place update
+    chains — r5 job 013's one-consumer rule) + the per-tile extraction
+    workspace.  ×1.2 safety residual (the gate prefers overestimates);
+    band −12%/+34% on the r5d v5e grid."""
     n_pad = _pad128(n)
     m_pad = _pad128(m)
+    T = max(m_pad // _TILE, 1)
+    cap_t = nnz_c // T
     inputs = 8 * (nnz_a + nnz_b) + 4 * (m + k + 2)
     mask = m_pad * n_pad
-    count = (inputs + mask
-             + int(1.5 * 6 * (m_pad * k + k * n_pad)))  # pad+slice pairs
+    count = (inputs + mask + 2 * (m_pad * k + k * n_pad)
+             + 4 * (nnz_a + nnz_b) + 4 * _TILE * n_pad)
     compute = (inputs + mask
-               + 2 * 4 * k * n_pad          # bd padded + sliced copy
-               + 8 * nnz_c + 4 * (m + 1)    # cols+vals, single copies
-               + 40 * _TILE * n_pad)        # extraction workspace
-    return int(1.16 * max(count, compute))
+               + 4 * k * n_pad + 8 * nnz_b   # bd + its kernel streams
+               + 8 * nnz_c + 4 * (m + 1)     # cols+vals, single copies
+               + 40 * _TILE * n_pad + 8 * cap_t)  # extraction workspace
+    return int(1.2 * max(count, compute))
 
 
 def alg3_blocked_peak_bytes(m: int, k: int, n: int, nnz_a: int,
@@ -90,9 +91,10 @@ def alg3_blocked_peak_bytes(m: int, k: int, n: int, nnz_a: int,
     G-row-tile staging stripe (values f32 + bool mask, G from
     _GROUP_STAGING_BYTES), host-exact structure so only VALUES are
     program outputs (single copy, in-place chain), plus the per-tile
-    extraction workspace.  ×1.2 residual calibrated on the v5e r5 grid
-    (jobs 002/009/014); band ±25% (the scan3/scan2 fallbacks for
-    larger grids run close enough for plan-ahead purposes)."""
+    extraction workspace.  Recalibrated r5d
+    ×1.15 safety residual; band −14%/+33% on the r5d v5e grid (the
+    scan3/scan2 fallbacks for larger grids run close enough for
+    plan-ahead purposes)."""
     n_pad = _pad128(n)
     cf = min(max(float(chunk_fraction), 1e-3), 1.0)
     n_b = min(max(_pad128(int(-(-cf * n // 1))), 128), n_pad)
@@ -102,12 +104,12 @@ def alg3_blocked_peak_bytes(m: int, k: int, n: int, nnz_a: int,
     stage_rows = max(1, min(-(-m // _TILE),
                             (8 << 20) // (_TILE * n_pad * 5)))
     stage = stage_rows * _TILE * n_pad * 5  # f32 values + bool mask
-    panel_b = int(1.5 * 6 * k * n_b)        # padded + sliced
+    panel_b = 6 * k * n_b                   # no padded+sliced pair (r5b)
     a_tile = 6 * _TILE * k
     out = 4 * nnz_c                         # values only (cols on host)
     extract_ws = 40 * _TILE * n_pad
-    return int(1.2 * (a_args + b_args + sort_tmp + stage + panel_b
-                      + a_tile + out + extract_ws))
+    return int(1.15 * (a_args + b_args + sort_tmp + stage + panel_b
+                       + a_tile + out + extract_ws))
 
 
 def spgemm_sharded_peak_bytes(m: int, k: int, n: int, nnz_a: int,
@@ -161,9 +163,12 @@ def spgemm_peak_estimate(a, b, alg: int = 1,
     holds (the regime the flagship grid measures) and the ESC engines
     otherwise.  Where exactness matters, prefer the measured
     `utils.memtrace.op_memory_analysis` (XLA buffer assignment) — this
-    model is the plan-ahead estimate, recalibrated r5 against the full
-    v5e grid: within ±10% at 2048², ±35% at 512–1024 (small shapes
-    carry fixed overheads the closed form ignores)."""
+    model is the plan-ahead estimate, recalibrated r5d against the full
+    v5e grid (19 cells, benchmarks/grid_latest.json is the measured
+    truth): alg2 −13%/+35%, alg3 −14%/+34%, alg1 −20%/+51% (alg1's
+    d=0.1 cells overestimate: the model charges value+pattern matmul
+    outputs as fully co-live, which XLA's scheduler avoids there).
+    Overestimates are the safe direction for the feasibility gates."""
     from spmm_tpu.ops.spgemm import _blocked_feasible, spgemm_nnz_estimate
 
     m, k = a.shape
